@@ -1,0 +1,217 @@
+"""User API: stateless ``filt``, streaming ``FIRFilter``, phase/reset control.
+
+Mirrors the reference's L4 surface (src/Multirate.jl exports; stateless filt
+overloads Filters.jl:858-873; FIRFilter wrapper Filters.jl:150-198; setphase
+:207-232; reset :244-260) on top of the pure-functional block step.
+
+Functional core (jit-friendly, used by the parallel layer and by power users):
+
+    params = make_kernel(h, ratio=Fraction(147,160))
+    state  = init_state(params, batch_shape, x.dtype)
+    y_pad, count, state = filt_block(params, state, x_block)   # jittable
+
+``FIRFilter`` wraps that in the reference's mutable-object ergonomics.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import indexing as _idx
+from .compute import filt_block_raw
+from .params import (
+    PHASE_FRAC_BITS, PHASE_ONE,
+    FIRStandard, FIRInterpolator, FIRDecimator, FIRRational,
+    FIRArbitrary, FIRFarrow, FilterState, init_state, make_kernel,
+)
+
+__all__ = [
+    "filt", "filt_block", "FIRFilter", "setphase", "reset", "tapsforphase",
+    "outputlength", "inputlength", "nextphase", "max_outputs",
+]
+
+outputlength = _idx.outputlength
+inputlength = _idx.inputlength
+nextphase = _idx.nextphase
+max_outputs = _idx.max_outputs
+
+
+filt_block = jax.jit(filt_block_raw, static_argnames=("path",))
+filt_block.__doc__ = filt_block_raw.__doc__
+
+
+def filt(h, x, ratio_or_rate=Fraction(1, 1), nphi: int = 32,
+         polyorder=None, path: str = "auto"):
+    """One-shot stateless filtering / resampling.
+
+    - ``filt(h, x, L_over_M)`` with a Fraction/int/(L, M) tuple: single-rate,
+      interpolating, decimating, or rational polyphase resampling
+      (reference: Filters.jl:858-861).
+    - ``filt(h, x, rate: float, nphi=32)``: arbitrary-rate resampling with
+      derivative-bank linear interpolation (Filters.jl:864-867).
+    - ``filt(h, x, rate: float, nphi, polyorder)``: Farrow polynomial
+      resampling (Filters.jl:870-873).
+
+    ``x`` may have leading channel/batch dims; time is the last axis. The
+    output dtype is promote(h.dtype, x.dtype) (reference convention, e.g.
+    Filters.jl:476).
+    """
+    if isinstance(ratio_or_rate, float):
+        params = make_kernel(h, rate=ratio_or_rate, nphi=nphi,
+                             polyorder=polyorder)
+    else:
+        params = make_kernel(h, ratio=ratio_or_rate)
+    x = jnp.asarray(x)
+    state = init_state(params, x.shape[:-1], x.dtype)
+    y, count, _ = filt_block(params, state, x, path=path)
+    return y[..., : int(count)]
+
+
+class FIRFilter:
+    """Streaming (stateful) filter object, the reference's FIRFilter
+    (Filters.jl:150-198) with a pure-functional jitted core.
+
+    Construction dispatch (Filters.jl:158-198):
+
+    - ``FIRFilter(h)`` or ``FIRFilter(h, Fraction(L, M))`` — single-rate /
+      interpolator / decimator / rational by the shape of the ratio.
+    - ``FIRFilter(h, rate: float, nphi=32)`` — arbitrary-rate resampler.
+    - ``FIRFilter(h, rate: float, nphi, polyorder)`` — Farrow resampler.
+
+    ``filt(x)`` consumes a chunk and returns exactly the producible output
+    samples; leftover phase/history state is carried so that concatenated
+    chunked output equals whole-vector output (bit-exactly for a fixed
+    chunk-size decomposition; the invariant the reference tests at
+    runtests.jl:72-96).
+    """
+
+    def __init__(self, h, ratio_or_rate=Fraction(1, 1), nphi: int = 32,
+                 polyorder=None, path: str = "auto"):
+        if isinstance(ratio_or_rate, float):
+            self.params = make_kernel(h, rate=ratio_or_rate, nphi=nphi,
+                                      polyorder=polyorder)
+        else:
+            self.params = make_kernel(h, ratio=ratio_or_rate)
+        self.path = path
+        self.state: FilterState | None = None
+
+    @property
+    def kernel(self):
+        return self.params
+
+    @property
+    def history(self):
+        return None if self.state is None else self.state.history
+
+    def _ensure_state(self, x):
+        if self.state is None or self.state.history.shape[:-1] != x.shape[:-1]:
+            self.state = init_state(self.params, x.shape[:-1], x.dtype)
+        elif self.state.history.dtype != x.dtype:
+            # Keep phase/deficit (e.g. set via setphase before the first
+            # chunk); only the history buffer tracks the signal dtype.
+            self.state = FilterState(
+                history=self.state.history.astype(x.dtype),
+                phase=self.state.phase, deficit=self.state.deficit)
+
+    def filt(self, x):
+        """Filter a chunk, carrying streaming state across calls."""
+        x = jnp.asarray(x)
+        self._ensure_state(x)
+        y, count, self.state = filt_block(self.params, self.state, x,
+                                          path=self.path)
+        return y[..., : int(count)]
+
+    __call__ = filt
+
+    def reset(self):
+        """Zero history and phase state (bug-fixed reference reset,
+        Filters.jl:244-260 / SURVEY.md section 2.2 item 2)."""
+        if self.state is not None:
+            self.state = init_state(
+                self.params, self.state.history.shape[:-1],
+                self.state.history.dtype)
+        return self
+
+    def setphase(self, phi: float):
+        if self.state is None:
+            self.state = init_state(self.params, (), jnp.float32)
+        self.state = setphase(self.params, self.state, phi)
+        return self
+
+    def outputlength(self, inlen: int) -> int:
+        return _idx.outputlength(self.params, inlen, state=self.state)
+
+    def inputlength(self, outlen: int) -> int:
+        return _idx.inputlength(self.params, outlen, state=self.state)
+
+
+def setphase(params, state: FilterState, phi) -> FilterState:
+    """Set the kernel phase; valid input is [0, 1] (Filters.jl:207-232).
+
+    Bug-fixed semantics (the reference's interpolator/rational variant
+    references an undefined variable, Filters.jl:212; SURVEY.md 2.2 item 1):
+
+    - interpolator/rational: 1-based phase index = floor(phi * nphi) + 1,
+      clamped to [1, nphi].
+    - arbitrary: fixed-point accumulator u = phi * nphi (phase position into
+      the bank; alpha is the fractional part) — acc = phi*nphi via modf in
+      the reference (Filters.jl:216-222).
+    - Farrow: u = phi * (nphi - 1) (reference convention phiIdx =
+      phi*(nphi-1) + 1, Filters.jl:224-229).
+    """
+    if not 0.0 <= phi <= 1.0:
+        raise ValueError("phase must be in [0, 1]")
+    if isinstance(params, (FIRInterpolator, FIRRational)):
+        nphi = params.nphi
+        p = min(int(math.floor(phi * nphi)) + 1, nphi)
+        return FilterState(history=state.history,
+                           phase=jnp.asarray(p, jnp.int64),
+                           deficit=state.deficit)
+    if isinstance(params, FIRArbitrary):
+        u = round(phi * params.nphi * PHASE_ONE)
+        return FilterState(history=state.history,
+                           phase=jnp.asarray(u, jnp.int64),
+                           deficit=state.deficit)
+    if isinstance(params, FIRFarrow):
+        u = round(phi * (params.nphi - 1) * PHASE_ONE)
+        return FilterState(history=state.history,
+                           phase=jnp.asarray(u, jnp.int64),
+                           deficit=state.deficit)
+    raise TypeError(f"setphase not supported for {type(params).__name__}")
+
+
+def reset(filt_or_params, state: FilterState | None = None):
+    """Reset to initial state. With a FIRFilter, resets in place; with
+    (params, state), returns a fresh state of the same shape/dtype."""
+    if isinstance(filt_or_params, FIRFilter):
+        return filt_or_params.reset()
+    return init_state(filt_or_params, state.history.shape[:-1],
+                      state.history.dtype)
+
+
+def tapsforphase(params, phase: float):
+    """Taps for an arbitrary (possibly fractional, 1-based) phase index.
+
+    Arbitrary kernel: pfb[:, p] + alpha * dpfb[:, p] (Filters.jl:677-690);
+    Farrow kernel: polynomial evaluation (Filters.jl:764-775).
+    """
+    if isinstance(params, FIRArbitrary):
+        if not 0 <= phase <= params.nphi + 1:
+            raise ValueError("phase must be in [0, nphi + 1]")
+        alpha, pidx = math.modf(phase)
+        pidx = int(pidx)
+        return np.asarray(params.pfb[:, pidx - 1]) + alpha * np.asarray(
+            params.dpfb[:, pidx - 1])
+    if isinstance(params, FIRFarrow):
+        if not 0 <= phase <= params.nphi + 1:
+            raise ValueError("phase must be in [0, nphi + 1]")
+        C = np.asarray(params.coeffs)
+        powers = phase ** np.arange(C.shape[0])
+        return powers @ C
+    raise TypeError(f"tapsforphase not supported for {type(params).__name__}")

