@@ -195,6 +195,40 @@ def _rational_supercycle(params: FIRRational, xext, phi0, d0, n_max: int):
     return Y.reshape(*lead, J * L)[..., :n_max]
 
 
+def _build_k_in_graph(params: FIRRational, phi0, d0, dtype):
+    """Banded tap matrix K for arbitrary traced entry state, origin-folded:
+    K[u, r] = pfb[u - ((phi0-1+r*M)//L + d0-1), (phi0-1+r*M) mod L]."""
+    L, M, T = params.interpolation, params.decimation, params.taps_per_phi
+    r = jnp.arange(L, dtype=jnp.int64)
+    t_r = (phi0 - 1) + r * M
+    off = t_r // L + (d0 - 1)
+    rows = off[None, :] + jnp.arange(T, dtype=jnp.int64)[:, None]
+    cols = jnp.broadcast_to(r[None, :], (T, L))
+    vals = jnp.take(params.pfb, t_r % L, axis=1, mode="clip")
+    return jnp.zeros((2 * M + T, L), dtype=dtype).at[rows, cols].set(
+        vals.astype(dtype))
+
+
+def _rational_pallas(params: FIRRational, xext, phi0, d0, n_max: int, dt):
+    from .pallas.rational import rational_supercycle_pallas
+
+    L, M = params.interpolation, params.decimation
+    fresh = jnp.logical_and(phi0 == 1, d0 == 1)
+    K = lax.cond(
+        fresh,
+        lambda: params.k_super.astype(dt),
+        lambda: _build_k_in_graph(params, phi0, d0, dt),
+    )
+    interp = jax.default_backend() != "tpu"
+    run = lambda xv: rational_supercycle_pallas(  # noqa: E731
+        xv.astype(dt), K, L, M, n_max, interpret=interp)
+    if xext.ndim == 1:
+        return run(xext)
+    lead = xext.shape[:-1]
+    flat = xext.reshape(-1, xext.shape[-1])
+    return jax.vmap(run)(flat).reshape(*lead, n_max)
+
+
 def _rational(params: FIRRational, state, x, path):
     L, M, T = params.interpolation, params.decimation, params.taps_per_phi
     xlen = x.shape[-1]
@@ -203,7 +237,10 @@ def _rational(params: FIRRational, state, x, path):
     count, phi_next, d0_next = idx.rational_carry(
         L, M, state.phase, state.deficit, xlen)
     dt = _out_dtype(params, x)
-    if path == "supercycle":
+    if path == "pallas":
+        y = _rational_pallas(params, xext, state.phase, state.deficit,
+                             n_max, dt)
+    elif path == "supercycle":
         y = _rational_supercycle(
             params, xext.astype(dt), state.phase, state.deficit, n_max)
     else:
@@ -278,6 +315,8 @@ def _auto_path(params, x):
     if isinstance(params, (FIRStandard, FIRInterpolator, FIRDecimator)):
         return "windows" if cx else "conv"
     if isinstance(params, FIRRational):
+        if not cx and jax.default_backend() == "tpu":
+            return "pallas"
         return "supercycle"
     return "windows"
 

@@ -145,15 +145,26 @@ class FIRRational:
     """
 
     pfb: Any = _array()  # (taps_per_phi, L)
+    k_super: Any = _array(default=None)  # (2M+T, L) fresh-stream band matrix
     interpolation: int = 1  # L
     decimation: int = 1     # M
     taps_per_phi: int = 0
 
     @classmethod
     def create(cls, h, interpolation: int, decimation: int) -> "FIRRational":
+        from .pallas.rational import build_k_matrix
+
         bank = _pfb.taps2pfb(h, interpolation)
-        return cls(pfb=jnp.asarray(bank), interpolation=interpolation,
-                   decimation=decimation, taps_per_phi=bank.shape[0])
+        T = bank.shape[0]
+        M = decimation
+        # Fresh-stream (phase 1, deficit 1) banded tap matrix, padded to the
+        # deficit-foldable height 2M+T used by the Pallas kernel.
+        k0 = build_k_matrix(bank, interpolation, M, phi0=1, origin=0)
+        k0 = np.concatenate(
+            [k0, np.zeros((M, interpolation), dtype=k0.dtype)], axis=0)
+        return cls(pfb=jnp.asarray(bank), k_super=jnp.asarray(k0),
+                   interpolation=interpolation,
+                   decimation=decimation, taps_per_phi=T)
 
     @property
     def nphi(self) -> int:

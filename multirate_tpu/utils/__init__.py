@@ -1,6 +1,12 @@
-"""Utilities: naive test oracles, testing helpers, checkpointing, benchmarks."""
+"""Utilities: naive test oracles, testing helpers, checkpointing, metrics."""
 
 from .oracle import naivefilt
-from .testing import assert_close, first_divergence
+from .testing import assert_close, first_divergence, rms
+from .checkpoint import save_state, load_state, state_to_host, state_from_host
+from .metrics import ThroughputReport, measure, hbm_roofline_samples_per_s
 
-__all__ = ["naivefilt", "assert_close", "first_divergence"]
+__all__ = [
+    "naivefilt", "assert_close", "first_divergence", "rms",
+    "save_state", "load_state", "state_to_host", "state_from_host",
+    "ThroughputReport", "measure", "hbm_roofline_samples_per_s",
+]

@@ -148,3 +148,35 @@ def test_dtype_switch_preserves_phase(rng):
     f.filt(np.ones(3, np.float32))  # deficit now 2
     y = f.filt(np.ones(10, np.float64))  # dtype switch casts history
     assert f.state.history.dtype == np.float64
+
+
+def test_checkpoint_file(rng, tmp_path):
+    """save_state/load_state round-trip through .npz resumes exactly."""
+    from multirate_tpu.utils import save_state, load_state
+    h = rng.standard_normal(30)
+    x = rng.standard_normal(200)
+    f = mr.FIRFilter(h, 1.3333)
+    f.filt(x[:100])
+    path = str(tmp_path / "state.npz")
+    save_state(path, f.state)
+    y_rest = np.asarray(f.filt(x[100:]))
+
+    g = mr.FIRFilter(h, 1.3333)
+    g.state = load_state(path)
+    y_rest2 = np.asarray(g.filt(x[100:]))
+    assert np.array_equal(y_rest, y_rest2)
+
+
+def test_models_resampler(rng):
+    """models layer: self-designing resampler and DAT->CD pipeline."""
+    from fractions import Fraction as F
+    from multirate_tpu.models import Resampler, DATToCD
+    r = Resampler(F(3, 2), attenuation=50.0)
+    y = np.asarray(r(np.ones(400, np.float32)))
+    assert abs(float(y[200:300].mean()) - 1.0) < 1e-2  # unity passband gain
+    d = DATToCD()
+    y = np.asarray(d(np.ones(3200, np.float32)))
+    assert y.shape[-1] == 2940
+    arb = Resampler(1.4142135, attenuation=50.0)
+    y = np.asarray(arb(np.ones(400, np.float32)))
+    assert abs(y.shape[-1] - int(400 * 1.4142135)) <= 2
