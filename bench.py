@@ -5,8 +5,15 @@ Prints ONE JSON line on stdout:
 vs_baseline is against the reference's derived 17.6 Msamples/s
 (BASELINE.md: 1e6 samples / 0.0569 s, single-core 2014 x86).
 
-Extra diagnostics (per-config throughputs, roofline fraction, chunked-vs-
-whole RMS) go to stderr only.
+Timing methodology (critical on the axon TPU relay, where
+jax.block_until_ready does not reliably synchronize and sync+readback has a
+~25 ms RTT floor): R iterations of the filter run inside one jitted
+lax.fori_loop with a REAL data dependency between iterations (a scalar of
+each output is folded back into the next input), completion is forced by a
+host readback, and the RTT floor is measured separately and subtracted.
+
+Extra diagnostics (per-path throughput, roofline fraction, chunked-vs-whole
+RMS) go to stderr only.
 """
 
 import json
@@ -21,22 +28,50 @@ BASELINE_MSPS = 1e6 / 0.0569 / 1e6  # reference Msamples/s (~17.57)
 # v5e (TPU v5 lite): ~819 GB/s HBM. The resample reads 4 B and writes
 # 4*147/160 B per input sample => light-speed input rate = BW / 7.675 B.
 HBM_GBPS = 819.0
+REPEAT = 50
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, iters=20, warmup=3):
-    import jax
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def measure_rtt(jax, jnp):
+    import jax as _j
+
+    f0 = _j.jit(lambda v: (v + 1.0).sum())
+    x = jnp.ones(8, jnp.float32)
+    float(f0(x))
+    ts = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        float(f0(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def time_chained(jax, jnp, params, state, x, path, rtt, iters=5):
+    """Median per-iteration seconds of R dependency-chained filter runs."""
+    from jax import lax
+
+    from multirate_tpu.ops.compute import filt_block_raw
+
+    @jax.jit
+    def many(s, xx):
+        def body(i, carry):
+            xx, acc = carry
+            y, _, _ = filt_block_raw(params, s, xx, path)
+            xx = xx.at[0].set(xx[0] + y[-1] * 1e-30)  # real dependency
+            return (xx, acc + y[-1])
+        _, acc = lax.fori_loop(0, REPEAT, body, (xx, jnp.zeros((), xx.dtype)))
+        return acc
+
+    float(many(state, x))  # compile + warm
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(many(state, x))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return (float(np.median(ts)) - rtt) / REPEAT
 
 
 def main():
@@ -46,6 +81,7 @@ def main():
     import multirate_tpu as mr
 
     dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
     log(f"device: {dev.device_kind} ({dev.platform})")
 
     N = 1_000_000
@@ -53,37 +89,42 @@ def main():
     h = (mr.firdes(24 * 147, 0.5 / 147, mr.kaiser, beta=7.8562) * 147
          ).astype(np.float32)
     params = mr.make_kernel(h, ratio=ratio)
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(N),
-                    dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (N,), dtype=jnp.float32)
     state0 = mr.init_state(params, (), jnp.float32)
 
-    def run(x):
-        y, count, st = mr.filt_block(params, state0, x)
-        return y
+    rtt = measure_rtt(jax, jnp) if on_tpu else 0.0
+    log(f"sync RTT floor: {rtt*1e3:.2f} ms (subtracted)")
 
-    t = time_fn(run, x)
-    msps = N / t / 1e6
-    log(f"rational 147//160 1M f32: {t*1e3:.3f} ms -> {msps:.1f} Msamples/s")
+    results = {}
+    paths = ("supercycle", "pallas") if on_tpu else ("supercycle",)
+    for path in paths:
+        sec = time_chained(jax, jnp, params, state0, x, path, rtt)
+        results[path] = N / sec / 1e6
+        log(f"rational 147//160 1M f32 [{path}]: {sec*1e3:.3f} ms "
+            f"-> {results[path]:.1f} Msamples/s")
 
+    msps = max(results.values())
     roofline_msps = HBM_GBPS * 1e9 / (4 + 4 * 147 / 160) / 1e6
     log(f"HBM roofline ~{roofline_msps:.0f} Msamples/s; "
         f"achieved {100 * msps / roofline_msps:.1f}%")
 
     # chunked-vs-whole RMS (the correctness metric in BASELINE.json)
-    whole = np.asarray(run(x))
+    whole = np.asarray(mr.filt_block(params, state0, x)[0])
     f = mr.FIRFilter(h, ratio)
-    parts = [np.asarray(f.filt(x[i:i + 250_000])) for i in
+    xh = np.asarray(x)
+    parts = [np.asarray(f.filt(xh[i:i + 250_000])) for i in
              range(0, N, 250_000)]
     chunked = np.concatenate(parts)
     n = min(len(chunked), len(whole))
-    rms = float(np.sqrt(np.mean((chunked[:n] - whole[:n]) ** 2)))
+    rms = float(np.sqrt(np.mean(
+        (chunked[:n].astype(np.float64) - whole[:n].astype(np.float64)) ** 2)))
     log(f"chunked-vs-whole RMS: {rms:.3e} over {n} samples")
 
     print(json.dumps({
         "metric": "rational_147_160_1M_f32_throughput",
-        "value": round(msps, 2),
+        "value": round(msps, 1),
         "unit": "Msamples/s",
-        "vs_baseline": round(msps / BASELINE_MSPS, 2),
+        "vs_baseline": round(msps / BASELINE_MSPS, 1),
         "chunked_vs_whole_rms": rms,
     }))
 

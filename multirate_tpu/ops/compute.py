@@ -156,42 +156,51 @@ def _decimator(params: FIRDecimator, state, x, path):
     return y, count, new_state
 
 
+def _select_k(params: FIRRational, phi0, d0, dtype):
+    """Banded tap matrix for the supercycle contraction, (2M+T, L).
+
+    Fresh streams (phase 1, deficit 1 — including any stream chunked in
+    multiples of M, whose carried state provably returns to (1, 1)) take the
+    host-precomputed k_super; only mid-phase entry pays the in-graph scatter
+    build (measured ~ms on TPU, so the cond matters)."""
+    fresh = jnp.logical_and(phi0 == 1, d0 == 1)
+    # zero-valued anchor keeps both branches' device-variance types equal
+    # under shard_map (the fresh branch is otherwise a closed-over constant)
+    anchor = ((phi0 + d0) * 0).astype(dtype)
+    return lax.cond(
+        fresh,
+        lambda: params.k_super.astype(dtype) + anchor,
+        lambda: _build_k_in_graph(params, phi0, d0, dtype),
+    )
+
+
 def _rational_supercycle(params: FIRRational, xext, phi0, d0, n_max: int):
-    """The rational resample as one (J, M+T) @ (M+T, L) matmul.
+    """The rational resample as one (J, 2M+T) @ (2M+T, L) matmul.
 
     Output n = j*L + r has input index in = s_r + j*M (s_r depends only on
-    the entry phase), so row j of the overlapped input reshape X3[j, u] =
-    x[(d0-1) + j*M + u] contains every window of supercycle j, and the tap
-    matrix K[u, r] = pfb[u - (s_r - d0), p_r] (zero outside the band) turns
-    the whole block into a single dense MXU contraction.
+    the entry phase and deficit, both folded into the band offsets of K), so
+    row j of the overlapped input reshape X3[j, u] = xext[j*M + u] contains
+    every window of supercycle j and the whole block is one dense MXU
+    contraction — no gathers, no scatters, no dynamic slices.
     """
     L, M, T = params.interpolation, params.decimation, params.taps_per_phi
-    U = M + T
+    U = 2 * M + T
     J = -(-n_max // L)
-    dt = params.pfb.dtype
+    dt = xext.dtype
 
-    r = jnp.arange(L, dtype=jnp.int64)
-    t_r = (phi0 - 1) + r * M
-    off = t_r // L            # s_r - d0 in [0, M]
-    p = t_r % L
-    rows = off[None, :] + jnp.arange(T, dtype=jnp.int64)[:, None]   # (T, L)
-    cols = jnp.broadcast_to(r[None, :], (T, L))
-    K = jnp.zeros((U + 1, L), dtype=dt).at[rows, cols].set(
-        jnp.take(params.pfb, p, axis=1, mode="clip")).astype(dt)[:U]
+    K = _select_k(params, phi0, d0, dt)
 
-    k_parts = -(-U // M)  # ceil((M+T)/M) overlapped reshapes cover u in [0, U)
-    need = J * M + (k_parts - 1) * M
-    pad = max(0, need + M + 1 - xext.shape[-1])
-    padded = jnp.pad(xext, [(0, 0)] * (xext.ndim - 1) + [(0, pad)])
-    xs = lax.dynamic_slice_in_dim(
-        padded, (d0 - 1).astype(jnp.int32), need, axis=-1)
+    k_parts = -(-U // M)    # ceil(U/M) overlapped reshapes cover u in [0, U)
+    need = (J + k_parts - 1) * M
+    pad = max(0, need - xext.shape[-1])
+    xs = jnp.pad(xext, [(0, 0)] * (xext.ndim - 1) + [(0, pad)])[..., :need]
     lead = xs.shape[:-1]
     parts = [
         xs[..., i * M: i * M + J * M].reshape(*lead, J, M)
         for i in range(k_parts)
     ]
     X3 = jnp.concatenate(parts, axis=-1)[..., :U]
-    Y = jnp.einsum("...ju,ul->...jl", X3, K.astype(X3.dtype))
+    Y = jnp.einsum("...ju,ul->...jl", X3, K)
     return Y.reshape(*lead, J * L)[..., :n_max]
 
 
@@ -213,12 +222,7 @@ def _rational_pallas(params: FIRRational, xext, phi0, d0, n_max: int, dt):
     from .pallas.rational import rational_supercycle_pallas
 
     L, M = params.interpolation, params.decimation
-    fresh = jnp.logical_and(phi0 == 1, d0 == 1)
-    K = lax.cond(
-        fresh,
-        lambda: params.k_super.astype(dt),
-        lambda: _build_k_in_graph(params, phi0, d0, dt),
-    )
+    K = _select_k(params, phi0, d0, dt)
     interp = jax.default_backend() != "tpu"
     run = lambda xv: rational_supercycle_pallas(  # noqa: E731
         xv.astype(dt), K, L, M, n_max, interpret=interp)

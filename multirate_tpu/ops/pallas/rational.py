@@ -4,28 +4,29 @@ The XLA path (ops/compute.py::_rational_supercycle) materializes the
 overlapped input reshape X3 (J, M+T) in HBM — an extra write+read of
 ~(M+T)/M times the input. This kernel builds each X3 tile **in VMEM** from
 two adjacent input blocks (the overlap never touches HBM) and feeds the MXU
-directly:
+directly.
 
-  grid tile j:
-    x_a = x[j     * JT*M : (j+1) * JT*M]      (auto-pipelined BlockSpec)
-    x_b = x[(j+1) * JT*M : (j+2) * JT*M]      (same array, +1 block)
-    X3[jj, u] = concat(x_a, x_b)[jj*M + u]    (static shifted reshapes, VPU)
-    y_tile = X3 @ K                            (MXU, K VMEM-resident)
+Layout trick for Mosaic: the input is passed as a 2-D (rows, M) view (a free
+HBM reshape), so each grid step receives (JT, M) and (JT, M)+1 blocks, and
+the overlapped window matrix is assembled from *row slices* only:
 
-K is the (M+T, L) banded tap matrix: K[u, r] = pfb[u - off_r, p_r] with
-off_r/p_r the closed-form per-supercycle input offset and phase column
-(see compute.py docstring; reference recurrence Filters.jl:558-568). For a
-fresh stream (phase 1, deficit 1) K is static and precomputed on host.
+  X3[j, i*M + m] = x[(j + i)*M + m] = xcat[j + i, m]
+  => X3 = concat([xcat[i : i + JT, :] for i in range(ceil(U/M))], axis=1)[:, :U]
+
+then y_tile = X3 @ K on the MXU, with the banded tap matrix K VMEM-resident.
+K[u, r] = pfb[u - off_r, p_r] encodes the closed-form per-supercycle offsets
+off_r = (phi0-1+r*M)//L and phase columns p_r = (phi0-1+r*M) mod L (reference
+recurrence Filters.jl:558-568). For a fresh stream (phase 1, deficit 1) K is
+static and precomputed on host at kernel-construction time.
 
 HBM traffic: x read twice (overlap trick) + y written once
-= (2 + L/M) * 4 bytes/input vs light speed (1 + L/M) * 4 — about 1.5x
-light speed for the 147//160 headline, with zero gather/scatter ops.
+= (2 + L/M)*4 bytes/input vs light-speed (1 + L/M)*4 — ~1.5x light speed for
+the 147//160 headline, with zero gather/scatter ops.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -57,26 +58,28 @@ def build_k_matrix(pfb: np.ndarray, L: int, M: int, phi0: int = 1,
 
 
 def _kernel(x_a, x_b, k_ref, o_ref, *, JT: int, M: int, U: int, L: int):
-    xcat = jnp.concatenate([x_a[:], x_b[:]], axis=0)  # (2*JT*M,)
-    parts = []
+    # y[j] = sum_u x[j*M + u] * K[u, :]  decomposed into per-part matmuls
+    # (Mosaic dislikes lane-axis concatenation, so X3 is never formed):
+    #   y = sum_i xcat[i : i + JT, :w_i] @ K[i*M : i*M + w_i, :]
+    xcat = jnp.concatenate([x_a[:], x_b[:]], axis=0)       # (2*JT, M)
+    acc = jnp.zeros((JT, L), dtype=x_a.dtype)
     u = 0
+    i = 0
     while u < U:
         width = min(M, U - u)
-        seg = xcat[u: u + JT * M]
-        parts.append(seg.reshape(JT, M)[:, :width])
+        acc = acc + jnp.dot(xcat[i: i + JT, :width],
+                            k_ref[u: u + width, :],
+                            preferred_element_type=acc.dtype)
         u += width
-    X3 = jnp.concatenate(parts, axis=1)  # (JT, U)
-    y = jnp.dot(X3, k_ref[:], preferred_element_type=X3.dtype)  # (JT, L)
-    o_ref[:] = y.reshape(JT * L)
+        i += 1
+    o_ref[:] = acc
 
 
 def rational_supercycle_pallas(x, K, L: int, M: int, n_out: int,
                                JT: int = 512, interpret: bool = False):
-    """Resample ``x`` (1-D, length multiple of nothing in particular) through
-    the banded tap matrix ``K`` ((M+T, L) from build_k_matrix).
-
-    ``x`` must already start at the stream origin (deficit folded in by the
-    caller: either sliced off or folded into K via ``origin``). Returns the
+    """Resample 1-D ``x`` through the banded tap matrix ``K`` ((U, L) from
+    build_k_matrix). ``x`` must already start at the stream origin (deficit
+    folded in by the caller via slicing or K's ``origin``). Returns the
     first ``n_out`` outputs.
     """
     U = K.shape[0]
@@ -84,25 +87,27 @@ def rational_supercycle_pallas(x, K, L: int, M: int, n_out: int,
         raise ValueError(f"tile too small: U={U} > JT*M={JT * M}")
     J_total = -(-n_out // L)
     num_tiles = -(-J_total // JT)
-    # pad x so block j+1 exists for the last tile
-    need = (num_tiles + 1) * JT * M
+    need = (num_tiles + 1) * JT * M     # block j+1 must exist for last tile
     x_pad = jnp.pad(x, (0, max(0, need - x.shape[0])))[:need]
+    x2d = x_pad.reshape(-1, M)          # free HBM relayout
 
-    grid = (num_tiles,)
     out = pl.pallas_call(
         functools.partial(_kernel, JT=JT, M=M, U=U, L=L),
-        out_shape=jax.ShapeDtypeStruct((num_tiles * JT * L,), x.dtype),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), x.dtype),
+        grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((JT * M,), lambda j: (j,),
+            # NB: every index component derives from j so all stay int32 —
+            # bare 0/1 literals become int64 under jax_enable_x64 and Mosaic
+            # rejects the mixed-width index tuple.
+            pl.BlockSpec((JT, M), lambda j: (j, j * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((JT * M,), lambda j: (j + 1,),
+            pl.BlockSpec((JT, M), lambda j: (j + 1, j * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, L), lambda j: (0, 0),
+            pl.BlockSpec((U, L), lambda j: (j * 0, j * 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((JT * L,), lambda j: (j,),
+        out_specs=pl.BlockSpec((JT, L), lambda j: (j, j * 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x_pad, x_pad, K)
-    return out[:n_out]
+    )(x2d, x2d, K)
+    return out.reshape(num_tiles * JT * L)[:n_out]
