@@ -1,22 +1,32 @@
 """Block filtering computations: one batched contraction per output block.
 
 This is the TPU-native replacement for the reference's per-output
-``unsafedot`` inner loops (support.jl:5-55). Three interchangeable compute
-paths, all driven by the closed-form index vectors from ``indexing``:
+``unsafedot`` inner loops (support.jl:5-55). The central formulation is the
+**generalized supercycle matmul**: every rational-family kernel (standard,
+interpolator, decimator, rational) is a banded-matrix contraction
+
+    Y (J, gL) = X3 (J, gM + T + M) @ K (gM + T + M, gL)
+
+where row j of the overlapped input reshape X3[j, u] = xext[j*g*M + u]
+contains every window of ``g`` consecutive supercycles, and K encodes the
+closed-form per-output window offsets and phase columns (the reference
+recurrence Filters.jl:558-568 evaluated analytically; see
+pallas/rational.py:build_k_matrix). The grouping factor g widens degenerate
+ratios so even a plain FIR runs as a ~128-column MXU matmul.
+
+Compute paths:
 
 - ``windows``: gather an (N, taps_per_phi) window matrix and contract with
   per-output tap rows. Universal (any kernel, any dtype incl. complex); the
-  correctness reference for the fast paths.
-- ``conv``: XLA ``conv_general_dilated`` — maps standard/decimator/
-  interpolator filtering onto the TPU convolution path (MXU) with no window
-  materialization in HBM.
-- ``supercycle``: the rational resampler as ONE dense matmul. Outputs are
-  grouped into supercycles of L outputs / M inputs; within a supercycle the
-  input stride is constant, so the whole resample is
-  ``X3 (J, M+T) @ K (M+T, L)`` where ``X3`` is an overlapped reshape of the
-  input (no gather!) and ``K`` is a static sparse-banded tap matrix. FLOP
-  redundancy is (M+T)/T (1.15x for the 147//160 headline config) and
-  everything runs on the MXU.
+  correctness reference for the fast paths. ``slices`` variant uses
+  contiguous slice-gathers (TPU-friendlier) for the arbitrary/Farrow
+  kernels.
+- ``conv``: XLA ``conv_general_dilated`` (good on CPU; poor on TPU for long
+  single-channel kernels).
+- ``supercycle``: the banded matmul with X3 materialized by XLA.
+- ``pallas``: the banded matmul as a Pallas kernel that assembles X3 tiles
+  in VMEM from two overlapping auto-pipelined input blocks — the overlap
+  never touches HBM (ops/pallas/rational.py).
 
 All paths consume the extended signal xext = [history, x_block] so filter
 ramp-up across block boundaries is uniform (the reference's split
@@ -24,8 +34,6 @@ history/signal dot, support.jl:16-31, disappears).
 """
 
 from __future__ import annotations
-
-import math
 
 import jax
 import jax.numpy as jnp
@@ -54,8 +62,21 @@ def _new_history(xext, history_len: int):
     return xext[..., xext.shape[-1] - history_len:]
 
 
-def _gather_windows(xext, starts0, taps_per_phi: int):
-    """W[..., n, t] = xext[..., starts0[n] + t] (clipped gather)."""
+def _gather_windows(xext, starts0, taps_per_phi: int, slices: bool = False):
+    """W[..., n, t] = xext[..., starts0[n] + t] (clipped gather).
+
+    ``slices=True`` lowers to N contiguous T-element slice-gathers
+    (vmapped dynamic_slice) instead of N*T single-element gathers — the
+    same values, but far friendlier to the TPU gather unit."""
+    if slices:
+        E = xext.shape[-1]
+        s32 = jnp.clip(starts0, 0, E - taps_per_phi).astype(jnp.int32)
+
+        def one(s):
+            return lax.dynamic_slice_in_dim(xext, s, taps_per_phi, axis=-1)
+
+        W = jax.vmap(one)(s32)              # (N, ..., T)
+        return jnp.moveaxis(W, 0, -2)       # (..., N, T)
     ind = starts0[:, None] + jnp.arange(taps_per_phi, dtype=starts0.dtype)[None, :]
     return jnp.take(xext, ind, axis=-1, mode="clip")
 
@@ -69,7 +90,6 @@ def _corr1d(x, kernels, stride: int = 1):
     """Correlate (..., W) with (T,) or (T, C) kernels, VALID, stride.
 
     Returns (..., outW) for 1-D kernels or (..., outW, C) for multi-channel.
-    Uses conv_general_dilated so XLA lowers it onto the TPU conv/MXU path.
     """
     dt = jnp.promote_types(x.dtype, kernels.dtype)
     x = x.astype(dt)
@@ -90,79 +110,53 @@ def _corr1d(x, kernels, stride: int = 1):
 
 
 def _shift_origin(xext, d0, max_shift: int):
-    """Return xext re-origined at 1-based input index d0 (traced), i.e.
-    ys[..., i] = xext[..., (d0-1) + i], zero-padded on the right.
-
-    ``max_shift`` is the static bound on d0 - 1 (the deficit is bounded by
-    one input stride, see indexing.rational_carry).
-    """
+    """ys[..., i] = xext[..., (d0-1) + i], zero-padded on the right."""
     padded = jnp.pad(xext, [(0, 0)] * (xext.ndim - 1) + [(0, max_shift)])
     return lax.dynamic_slice_in_dim(
         padded, (d0 - 1).astype(jnp.int32), xext.shape[-1], axis=-1)
 
 
 # --------------------------------------------------------------------------- #
-# Per-kernel implementations. Each returns (y_padded, count, new_state) where
-# y_padded has static trailing length max_outputs(params, xlen); entries past
-# ``count`` are unspecified (callers trim or mask).
+# Generalized supercycle machinery (standard / interp / decim / rational)
 # --------------------------------------------------------------------------- #
 
-def _standard(params: FIRStandard, state, x, path):
-    xext = _extend(state.history, x)
-    if path == "conv":
-        y = _corr1d(xext, params.taps_rev.astype(_out_dtype(params, x)))
-    else:
-        starts = jnp.arange(x.shape[-1], dtype=jnp.int64)
-        W = _gather_windows(xext, starts, params.hlen)
-        y = jnp.einsum("...nt,t->...n", W, params.taps_rev).astype(
-            _out_dtype(params, x))
-    new_state = FilterState(history=_new_history(xext, params.history_len),
-                            phase=state.phase, deficit=state.deficit)
-    return y, jnp.asarray(x.shape[-1], jnp.int64), new_state
+def _band_geometry(params):
+    """(pfb2d (T, L), L, M, group) for a rational-family kernel."""
+    if isinstance(params, FIRStandard):
+        return params.taps_rev.reshape(-1, 1), 1, 1, params.sc_group
+    if isinstance(params, FIRDecimator):
+        return (params.taps_rev.reshape(-1, 1), 1, params.decimation,
+                params.sc_group)
+    if isinstance(params, FIRInterpolator):
+        return params.pfb, params.interpolation, 1, params.sc_group
+    if isinstance(params, FIRRational):
+        return (params.pfb, params.interpolation, params.decimation,
+                params.sc_group)
+    raise TypeError(type(params))
 
 
-def _interpolator(params: FIRInterpolator, state, x, path):
-    L, T = params.interpolation, params.taps_per_phi
-    xext = _extend(state.history, x)
-    dt = _out_dtype(params, x)
-    if path == "conv":
-        Y = _corr1d(xext, params.pfb.astype(dt))          # (..., xlen, L)
-    else:
-        starts = jnp.arange(x.shape[-1], dtype=jnp.int64)
-        W = _gather_windows(xext, starts, T)
-        Y = jnp.einsum("...nt,tp->...np", W, params.pfb).astype(dt)
-    y = Y.reshape(*Y.shape[:-2], x.shape[-1] * L)
-    new_state = FilterState(history=_new_history(xext, params.history_len),
-                            phase=state.phase, deficit=state.deficit)
-    return y, jnp.asarray(x.shape[-1] * L, jnp.int64), new_state
+def _build_k_in_graph(params, phi0, d0, dtype):
+    """Banded tap matrix for arbitrary traced entry state, origin-folded:
+    column c = r_g*L + r has band start r_g*M + (phi0-1+r*M)//L + (d0-1)."""
+    pfb, L, M, g = _band_geometry(params)
+    T = pfb.shape[0]
+    c = jnp.arange(g * L, dtype=jnp.int64)
+    r = c % L
+    r_g = c // L
+    t_r = (phi0 - 1) + r * M
+    off = r_g * M + t_r // L + (d0 - 1)
+    rows = off[None, :] + jnp.arange(T, dtype=jnp.int64)[:, None]
+    cols = jnp.broadcast_to(c[None, :], (T, g * L))
+    vals = jnp.take(pfb, t_r % L, axis=1, mode="clip")
+    return jnp.zeros((g * M + T + M, g * L), dtype=dtype).at[rows, cols].set(
+        vals.astype(dtype))
 
 
-def _decimator(params: FIRDecimator, state, x, path):
-    M, T = params.decimation, params.hlen
-    xlen = x.shape[-1]
-    xext = _extend(state.history, x)
-    n_max = idx.max_outputs(params, xlen)
-    count, _, d0_next = idx.rational_carry(1, M, 1, state.deficit, xlen)
-    dt = _out_dtype(params, x)
-    if path == "conv":
-        xs = _shift_origin(xext, state.deficit, M + 1)
-        y = _corr1d(xs, params.taps_rev.astype(dt), stride=M)[..., :n_max]
-    else:
-        inp, _ = idx.rational_indices(1, M, 1, state.deficit, n_max)
-        W = _gather_windows(xext, inp - 1, T)
-        y = jnp.einsum("...nt,t->...n", W, params.taps_rev).astype(dt)
-    new_state = FilterState(history=_new_history(xext, params.history_len),
-                            phase=state.phase, deficit=d0_next)
-    return y, count, new_state
-
-
-def _select_k(params: FIRRational, phi0, d0, dtype):
-    """Banded tap matrix for the supercycle contraction, (2M+T, L).
-
-    Fresh streams (phase 1, deficit 1 — including any stream chunked in
+def _select_k(params, phi0, d0, dtype):
+    """Fresh streams (phase 1, deficit 1 — including any stream chunked in
     multiples of M, whose carried state provably returns to (1, 1)) take the
-    host-precomputed k_super; only mid-phase entry pays the in-graph scatter
-    build (measured ~ms on TPU, so the cond matters)."""
+    host-precomputed k_super; only mid-phase entry pays the in-graph build
+    (a TPU scatter, measured ~ms — hence the cond)."""
     fresh = jnp.logical_and(phi0 == 1, d0 == 1)
     # zero-valued anchor keeps both branches' device-variance types equal
     # under shard_map (the fresh branch is otherwise a closed-over constant)
@@ -174,63 +168,111 @@ def _select_k(params: FIRRational, phi0, d0, dtype):
     )
 
 
-def _rational_supercycle(params: FIRRational, xext, phi0, d0, n_max: int):
-    """The rational resample as one (J, 2M+T) @ (2M+T, L) matmul.
-
-    Output n = j*L + r has input index in = s_r + j*M (s_r depends only on
-    the entry phase and deficit, both folded into the band offsets of K), so
-    row j of the overlapped input reshape X3[j, u] = xext[j*M + u] contains
-    every window of supercycle j and the whole block is one dense MXU
-    contraction — no gathers, no scatters, no dynamic slices.
-    """
-    L, M, T = params.interpolation, params.decimation, params.taps_per_phi
-    U = 2 * M + T
-    J = -(-n_max // L)
-    dt = xext.dtype
-
-    K = _select_k(params, phi0, d0, dt)
-
-    k_parts = -(-U // M)    # ceil(U/M) overlapped reshapes cover u in [0, U)
-    need = (J + k_parts - 1) * M
+def _supercycle_xla(xext, K, L_eff: int, M_eff: int, n_max: int):
+    """Banded matmul with X3 materialized by XLA reshape/concat."""
+    U = K.shape[0]
+    J = -(-n_max // L_eff)
+    k_parts = -(-U // M_eff)
+    need = (J + k_parts - 1) * M_eff
     pad = max(0, need - xext.shape[-1])
     xs = jnp.pad(xext, [(0, 0)] * (xext.ndim - 1) + [(0, pad)])[..., :need]
     lead = xs.shape[:-1]
     parts = [
-        xs[..., i * M: i * M + J * M].reshape(*lead, J, M)
+        xs[..., i * M_eff: i * M_eff + J * M_eff].reshape(*lead, J, M_eff)
         for i in range(k_parts)
     ]
     X3 = jnp.concatenate(parts, axis=-1)[..., :U]
-    Y = jnp.einsum("...ju,ul->...jl", X3, K)
-    return Y.reshape(*lead, J * L)[..., :n_max]
+    Y = jnp.einsum("...ju,ul->...jl", X3, K.astype(X3.dtype))
+    return Y.reshape(*lead, J * L_eff)[..., :n_max]
 
 
-def _build_k_in_graph(params: FIRRational, phi0, d0, dtype):
-    """Banded tap matrix K for arbitrary traced entry state, origin-folded:
-    K[u, r] = pfb[u - ((phi0-1+r*M)//L + d0-1), (phi0-1+r*M) mod L]."""
-    L, M, T = params.interpolation, params.decimation, params.taps_per_phi
-    r = jnp.arange(L, dtype=jnp.int64)
-    t_r = (phi0 - 1) + r * M
-    off = t_r // L + (d0 - 1)
-    rows = off[None, :] + jnp.arange(T, dtype=jnp.int64)[:, None]
-    cols = jnp.broadcast_to(r[None, :], (T, L))
-    vals = jnp.take(params.pfb, t_r % L, axis=1, mode="clip")
-    return jnp.zeros((2 * M + T, L), dtype=dtype).at[rows, cols].set(
-        vals.astype(dtype))
-
-
-def _rational_pallas(params: FIRRational, xext, phi0, d0, n_max: int, dt):
+def _supercycle_pallas(xext, K, L_eff: int, M_eff: int, n_max: int):
+    """Banded matmul via the Pallas kernel (X3 tiles live in VMEM only)."""
     from .pallas.rational import rational_supercycle_pallas
 
-    L, M = params.interpolation, params.decimation
-    K = _select_k(params, phi0, d0, dt)
     interp = jax.default_backend() != "tpu"
     run = lambda xv: rational_supercycle_pallas(  # noqa: E731
-        xv.astype(dt), K, L, M, n_max, interpret=interp)
+        xv, K, L_eff, M_eff, n_max, interpret=interp)
     if xext.ndim == 1:
         return run(xext)
     lead = xext.shape[:-1]
     flat = xext.reshape(-1, xext.shape[-1])
     return jax.vmap(run)(flat).reshape(*lead, n_max)
+
+
+def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):
+    _, L, M, g = _band_geometry(params)
+    K = _select_k(params, phi0, d0, dt)
+    apply_ = _supercycle_pallas if path == "pallas" else _supercycle_xla
+    return apply_(xext.astype(dt), K, g * L, g * M, n_max)
+
+
+# --------------------------------------------------------------------------- #
+# Per-kernel implementations. Each returns (y_padded, count, new_state) where
+# y_padded has static trailing length max_outputs(params, xlen); entries past
+# ``count`` are unspecified (callers trim or mask).
+# --------------------------------------------------------------------------- #
+
+def _standard(params: FIRStandard, state, x, path):
+    xext = _extend(state.history, x)
+    dt = _out_dtype(params, x)
+    if path in ("supercycle", "pallas"):
+        one = jnp.asarray(1, jnp.int64)
+        y = _supercycle_dispatch(params, xext, one, one, x.shape[-1], dt,
+                                 path)
+    elif path == "conv":
+        y = _corr1d(xext, params.taps_rev.astype(dt))
+    else:
+        starts = jnp.arange(x.shape[-1], dtype=jnp.int64)
+        W = _gather_windows(xext, starts, params.hlen)
+        y = jnp.einsum("...nt,t->...n", W, params.taps_rev).astype(dt)
+    new_state = FilterState(history=_new_history(xext, params.history_len),
+                            phase=state.phase, deficit=state.deficit)
+    return y, jnp.asarray(x.shape[-1], jnp.int64), new_state
+
+
+def _interpolator(params: FIRInterpolator, state, x, path):
+    L, T = params.interpolation, params.taps_per_phi
+    xext = _extend(state.history, x)
+    dt = _out_dtype(params, x)
+    n_out = x.shape[-1] * L
+    if path in ("supercycle", "pallas"):
+        one = jnp.asarray(1, jnp.int64)
+        y = _supercycle_dispatch(params, xext, one, one, n_out, dt, path)
+    elif path == "conv":
+        Y = _corr1d(xext, params.pfb.astype(dt))          # (..., xlen, L)
+        y = Y.reshape(*Y.shape[:-2], n_out)
+    else:
+        starts = jnp.arange(x.shape[-1], dtype=jnp.int64)
+        W = _gather_windows(xext, starts, T)
+        Y = jnp.einsum("...nt,tp->...np", W, params.pfb).astype(dt)
+        y = Y.reshape(*Y.shape[:-2], n_out)
+    new_state = FilterState(history=_new_history(xext, params.history_len),
+                            phase=state.phase, deficit=state.deficit)
+    return y, jnp.asarray(n_out, jnp.int64), new_state
+
+
+def _decimator(params: FIRDecimator, state, x, path):
+    M, T = params.decimation, params.hlen
+    xlen = x.shape[-1]
+    xext = _extend(state.history, x)
+    n_max = idx.max_outputs(params, xlen)
+    count, _, d0_next = idx.rational_carry(1, M, 1, state.deficit, xlen)
+    dt = _out_dtype(params, x)
+    if path in ("supercycle", "pallas"):
+        one = jnp.asarray(1, jnp.int64)
+        y = _supercycle_dispatch(params, xext, one, state.deficit, n_max, dt,
+                                 path)
+    elif path == "conv":
+        xs = _shift_origin(xext, state.deficit, M + 1)
+        y = _corr1d(xs, params.taps_rev.astype(dt), stride=M)[..., :n_max]
+    else:
+        inp, _ = idx.rational_indices(1, M, 1, state.deficit, n_max)
+        W = _gather_windows(xext, inp - 1, T)
+        y = jnp.einsum("...nt,t->...n", W, params.taps_rev).astype(dt)
+    new_state = FilterState(history=_new_history(xext, params.history_len),
+                            phase=state.phase, deficit=d0_next)
+    return y, count, new_state
 
 
 def _rational(params: FIRRational, state, x, path):
@@ -241,12 +283,9 @@ def _rational(params: FIRRational, state, x, path):
     count, phi_next, d0_next = idx.rational_carry(
         L, M, state.phase, state.deficit, xlen)
     dt = _out_dtype(params, x)
-    if path == "pallas":
-        y = _rational_pallas(params, xext, state.phase, state.deficit,
-                             n_max, dt)
-    elif path == "supercycle":
-        y = _rational_supercycle(
-            params, xext.astype(dt), state.phase, state.deficit, n_max)
+    if path in ("supercycle", "pallas"):
+        y = _supercycle_dispatch(params, xext, state.phase, state.deficit,
+                                 n_max, dt, path)
     else:
         inp, phi = idx.rational_indices(L, M, state.phase, state.deficit, n_max)
         W = _gather_windows(xext, inp - 1, T)
@@ -257,6 +296,83 @@ def _rational(params: FIRRational, state, x, path):
     return y, count, new_state
 
 
+def _arb_phaseall(params: FIRArbitrary, xext, u0, d0, n_max, dt, path):
+    """Arbitrary resample as interpolate-everything + one sorted flat gather.
+
+    The fixed-point phase total u_n = u0 + n*delta directly encodes the
+    position of output n in the nphi-times interpolated stream:
+    q_n = (u_n >> FRAC) + (d0-1)*nphi (exact — D = nphi << FRAC). So compute
+    the full interpolated stream Q (and its derivative-bank twin dQ) with the
+    MXU supercycle machinery and finish with
+    y_n = Q[q_n] + alpha_n * dQ[q_n] — a monotone single-element gather,
+    instead of an (n, taps_per_phi) window gather.
+    """
+    from .params import PHASE_FRAC_BITS, PHASE_ONE
+
+    nphi = params.nphi
+    xlen_ext = xext.shape[-1]
+    n_in = xlen_ext - (params.taps_per_phi - 1)
+    n_up = n_in * nphi
+    g = params.sc_group
+    apply_ = _supercycle_xla if path == "phaseall-xla" else _supercycle_pallas
+    Q = apply_(xext.astype(dt), params.kq_super.astype(dt), g * nphi, g, n_up)
+    dQ = apply_(xext.astype(dt), params.kdq_super.astype(dt), g * nphi, g,
+                n_up)
+
+    u = u0 + jnp.arange(n_max, dtype=jnp.int64) * params.delta_fx
+    q = (u >> PHASE_FRAC_BITS) + (d0 - 1) * nphi
+    alpha = ((u & (PHASE_ONE - 1)).astype(jnp.float64)
+             * (2.0 ** -PHASE_FRAC_BITS))
+    q = jnp.clip(q, 0, n_up - 1)
+    if path == "phaseall" and Q.ndim == 1:
+        from .pallas.select import monotone_select_pallas
+
+        max_step = (params.delta_fx >> PHASE_FRAC_BITS) + 1
+        return monotone_select_pallas(
+            Q, dQ, q, alpha.astype(dt), max_step,
+            interpret=jax.default_backend() != "tpu").astype(dt)
+    yl = jnp.take(Q, q, axis=-1, mode="clip")
+    yu = jnp.take(dQ, q, axis=-1, mode="clip")
+    return (yl + alpha.astype(dt) * yu).astype(dt)
+
+
+def _farrow_phaseall(params: FIRFarrow, xext, u0, d0, n_max, dt, path):
+    """Farrow resample as per-power FIRs + flat gather + Vandermonde mix.
+
+    y_n = sum_t W[n,t] * (sum_p phase_n^p C[p,t])
+        = sum_p phase_n^p * F[(in_n - 1)*(P+1) + p]
+    where F is the interleaved stream of the P+1 "power FIRs" (taps C[p,:]),
+    computed with the regular MXU supercycle machinery — the irregular
+    window gather collapses to a monotone row gather.
+    """
+    from .params import PHASE_FRAC_BITS, PHASE_ONE
+
+    P1 = params.polyorder + 1
+    n_in = xext.shape[-1] - (params.taps_per_phi - 1)
+    g = params.sc_group
+    apply_ = _supercycle_xla if path == "phaseall-xla" else _supercycle_pallas
+    F = apply_(xext.astype(dt), params.kf_super.astype(dt), g * P1, g,
+               n_in * P1)
+
+    u = u0 + jnp.arange(n_max, dtype=jnp.int64) * params.delta_fx
+    D = params.nphi << PHASE_FRAC_BITS
+    inp0 = (d0 - 1) + u // D                       # 0-based input index
+    phase_val = 1.0 + (u % D).astype(jnp.float64) * (2.0 ** -PHASE_FRAC_BITS)
+    powers = phase_val[:, None] ** jnp.arange(P1, dtype=jnp.float64)[None, :]
+    qrows = jnp.clip(inp0, 0, n_in - 1) * P1
+    if path == "phaseall" and F.ndim == 1:
+        from .pallas.select import poly_select_pallas
+
+        max_step = ((params.delta_fx >> PHASE_FRAC_BITS) // params.nphi + 1) \
+            * P1
+        return poly_select_pallas(
+            F, qrows, powers.astype(dt), max_step,
+            interpret=jax.default_backend() != "tpu").astype(dt)
+    q = qrows[:, None] + jnp.arange(P1, dtype=jnp.int64)[None, :]
+    Fg = jnp.take(F, q, axis=-1, mode="clip")      # (..., n_max, P1)
+    return jnp.einsum("...np,np->...n", Fg, powers.astype(dt)).astype(dt)
+
+
 def _arbitrary(params: FIRArbitrary, state, x, path):
     T = params.taps_per_phi
     xlen = x.shape[-1]
@@ -265,15 +381,19 @@ def _arbitrary(params: FIRArbitrary, state, x, path):
     count, u_next, d0_next = idx.accum_carry(
         params.nphi, params.delta_fx, state.phase, state.deficit, xlen)
     dt = _out_dtype(params, x)
-    inp, phi, frac = idx.accum_indices(
-        params.nphi, params.delta_fx, state.phase, state.deficit, n_max)
-    # taps = pfb[:, phi] + alpha * dpfb[:, phi]: first-order interpolation via
-    # the derivative bank (Filters.jl:677-690, 730).
-    taps = (jnp.take(params.pfb.T, phi, axis=0, mode="clip")
-            + frac[:, None].astype(params.pfb.dtype)
-            * jnp.take(params.dpfb.T, phi, axis=0, mode="clip"))
-    W = _gather_windows(xext, inp - 1, T)
-    y = _row_contract(W, taps.astype(dt)).astype(dt)
+    if path.startswith("phaseall"):
+        y = _arb_phaseall(params, xext, state.phase, state.deficit, n_max,
+                          dt, path)
+    else:
+        inp, phi, frac = idx.accum_indices(
+            params.nphi, params.delta_fx, state.phase, state.deficit, n_max)
+        # taps = pfb[:, phi] + alpha*dpfb[:, phi]: first-order interpolation
+        # via the derivative bank (Filters.jl:677-690, 730).
+        taps = (jnp.take(params.pfb.T, phi, axis=0, mode="clip")
+                + frac[:, None].astype(params.pfb.dtype)
+                * jnp.take(params.dpfb.T, phi, axis=0, mode="clip"))
+        W = _gather_windows(xext, inp - 1, T, slices=(path == "slices"))
+        y = _row_contract(W, taps.astype(dt)).astype(dt)
     new_state = FilterState(history=_new_history(xext, params.history_len),
                             phase=u_next, deficit=d0_next)
     return y, count, new_state
@@ -287,16 +407,21 @@ def _farrow(params: FIRFarrow, state, x, path):
     count, u_next, d0_next = idx.accum_carry(
         params.nphi, params.delta_fx, state.phase, state.deficit, xlen)
     dt = _out_dtype(params, x)
-    inp, phi, frac = idx.accum_indices(
-        params.nphi, params.delta_fx, state.phase, state.deficit, n_max)
-    # Per-output taps = Vandermonde(phase) @ coeffs: the polynomial tap
-    # regeneration loop (Filters.jl:789-791) as one (N, P+1) x (P+1, T) matmul.
-    phase_val = 1.0 + phi.astype(jnp.float64) + frac       # 1-based, in [1, nphi+1)
-    powers = phase_val[:, None] ** jnp.arange(params.polyorder + 1,
-                                              dtype=jnp.float64)[None, :]
-    taps = (powers @ params.coeffs)                        # (N, T) float64
-    W = _gather_windows(xext, inp - 1, T)
-    y = _row_contract(W, taps.astype(dt)).astype(dt)
+    if path.startswith("phaseall"):
+        y = _farrow_phaseall(params, xext, state.phase, state.deficit, n_max,
+                             dt, path)
+    else:
+        inp, phi, frac = idx.accum_indices(
+            params.nphi, params.delta_fx, state.phase, state.deficit, n_max)
+        # Per-output taps = Vandermonde(phase) @ coeffs: the polynomial tap
+        # regeneration loop (Filters.jl:789-791) as one (N, P+1) x (P+1, T)
+        # matmul.
+        phase_val = 1.0 + phi.astype(jnp.float64) + frac   # 1-based
+        powers = phase_val[:, None] ** jnp.arange(params.polyorder + 1,
+                                                  dtype=jnp.float64)[None, :]
+        taps = (powers @ params.coeffs)                    # (N, T) float64
+        W = _gather_windows(xext, inp - 1, T, slices=(path == "slices"))
+        y = _row_contract(W, taps.astype(dt)).astype(dt)
     new_state = FilterState(history=_new_history(xext, params.history_len),
                             phase=u_next, deficit=d0_next)
     return y, count, new_state
@@ -316,12 +441,19 @@ def _auto_path(params, x):
     cx = jnp.issubdtype(x.dtype, jnp.complexfloating) or jnp.issubdtype(
         (params.taps_rev if hasattr(params, "taps_rev") else params.pfb).dtype,
         jnp.complexfloating)
+    on_tpu = jax.default_backend() == "tpu"
     if isinstance(params, (FIRStandard, FIRInterpolator, FIRDecimator)):
-        return "windows" if cx else "conv"
+        if cx:
+            return "windows"
+        return "pallas" if on_tpu else "conv"
     if isinstance(params, FIRRational):
-        if not cx and jax.default_backend() == "tpu":
+        if not cx and on_tpu:
             return "pallas"
         return "supercycle"
+    if isinstance(params, (FIRArbitrary, FIRFarrow)):
+        if cx:
+            return "windows"
+        return "phaseall" if on_tpu else "windows"
     return "windows"
 
 

@@ -38,22 +38,30 @@ __all__ = ["rational_supercycle_pallas", "build_k_matrix"]
 
 
 def build_k_matrix(pfb: np.ndarray, L: int, M: int, phi0: int = 1,
-                   origin: int = 0) -> np.ndarray:
-    """Host-side banded tap matrix K (U, L), U = M + T + origin.
+                   origin: int = 0, group: int = 1) -> np.ndarray:
+    """Host-side banded tap matrix K (group*M + T + origin, group*L).
 
-    Output r of each supercycle reads the window starting at
-    off_r = (phi0 - 1 + r*M) // L relative to the supercycle origin; its
-    taps are pfb[:, (phi0 - 1 + r*M) mod L]. ``origin`` >= 0 shifts all
-    bands (used to fold a deficit offset into K instead of re-slicing x).
+    Generalized supercycle decomposition: a "row" covers ``group``
+    supercycles = group*M inputs producing group*L outputs. Output column
+    c = r_g*L + r reads the window starting (relative to the row origin) at
+    off_c = r_g*M + (phi0 - 1 + r*M) // L with taps
+    pfb[:, (phi0 - 1 + r*M) mod L]. ``origin`` >= 0 shifts all bands (used
+    to fold a deficit offset into K instead of re-slicing x).
+
+    With group > 1 this turns even degenerate ratios into wide MXU matmuls:
+    standard FIR is (L, M) = (1, 1) with group ~128 columns; a 1//M
+    decimator is (1, M); an L//1 interpolator is (L, 1). The rational
+    recurrence itself is Filters.jl:558-568 in closed form.
     """
     pfb = np.asarray(pfb)
     T = pfb.shape[0]
-    U = M + T + origin
-    K = np.zeros((U, L), dtype=pfb.dtype)
-    for r in range(L):
+    U = group * M + T + origin
+    K = np.zeros((U, group * L), dtype=pfb.dtype)
+    for c in range(group * L):
+        r_g, r = divmod(c, L)
         t_r = (phi0 - 1) + r * M
-        off = t_r // L + origin
-        K[off: off + T, r] = pfb[:, t_r % L]
+        off = r_g * M + t_r // L + origin
+        K[off: off + T, c] = pfb[:, t_r % L]
     return K
 
 
@@ -76,13 +84,20 @@ def _kernel(x_a, x_b, k_ref, o_ref, *, JT: int, M: int, U: int, L: int):
 
 
 def rational_supercycle_pallas(x, K, L: int, M: int, n_out: int,
-                               JT: int = 512, interpret: bool = False):
+                               JT: int | None = None,
+                               interpret: bool = False):
     """Resample 1-D ``x`` through the banded tap matrix ``K`` ((U, L) from
-    build_k_matrix). ``x`` must already start at the stream origin (deficit
-    folded in by the caller via slicing or K's ``origin``). Returns the
-    first ``n_out`` outputs.
+    build_k_matrix; L/M here are the *effective* grouped values g*L, g*M).
+    ``x`` must already start at the stream origin (deficit folded in by the
+    caller via slicing or K's ``origin``). Returns the first ``n_out``
+    outputs.
     """
     U = K.shape[0]
+    if JT is None:
+        # ~512K input samples per tile block, bounded tile VMEM footprint
+        JT = max(8, min(512, 131072 // M))
+        while JT * M < U:
+            JT *= 2
     if U > JT * M:
         raise ValueError(f"tile too small: U={U} > JT*M={JT * M}")
     J_total = -(-n_out // L)

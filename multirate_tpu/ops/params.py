@@ -46,6 +46,27 @@ PHASE_FRAC_BITS = 32
 PHASE_ONE = 1 << PHASE_FRAC_BITS
 
 
+
+def _pick_group(L: int, M: int) -> int:
+    """Supercycles per matmul row: widen degenerate ratios (small L) so the
+    banded-K contraction has ~128+ output columns for the MXU, while keeping
+    the row input span group*M bounded."""
+    g = max(1, -(-128 // L))
+    while g > 1 and g * M > 8192:
+        g //= 2
+    return g
+
+
+def _k_super(pfb2d: np.ndarray, L: int, M: int, group: int) -> "jnp.ndarray":
+    """Fresh-stream banded tap matrix, padded by M rows of deficit headroom
+    (see compute._select_k / pallas.rational.build_k_matrix)."""
+    from .pallas.rational import build_k_matrix
+
+    k0 = build_k_matrix(pfb2d, L, M, phi0=1, origin=0, group=group)
+    pad = np.zeros((M, k0.shape[1]), dtype=k0.dtype)
+    return jnp.asarray(np.concatenate([k0, pad], axis=0))
+
+
 def _register(cls):
     fields = dataclasses.fields(cls)
     data = [f.name for f in fields if f.metadata.get("pytree_node", False)]
@@ -69,12 +90,17 @@ class FIRStandard:
     """
 
     taps_rev: Any = _array()
+    k_super: Any = _array(default=None)  # banded matmul form (see _k_super)
     hlen: int = 0
+    sc_group: int = 1
 
     @classmethod
     def create(cls, h) -> "FIRStandard":
         h = np.asarray(h)
-        return cls(taps_rev=jnp.asarray(h[::-1].copy()), hlen=h.shape[0])
+        g = _pick_group(1, 1)
+        return cls(taps_rev=jnp.asarray(h[::-1].copy()),
+                   k_super=_k_super(h[::-1].reshape(-1, 1), 1, 1, g),
+                   hlen=h.shape[0], sc_group=g)
 
     @property
     def taps_per_phi(self) -> int:
@@ -91,14 +117,19 @@ class FIRInterpolator:
     """Integer interpolator (L//1) kernel (reference: Filters.jl:28-41)."""
 
     pfb: Any = _array()  # (taps_per_phi, L), rows time-flipped
+    k_super: Any = _array(default=None)
     interpolation: int = 1
     taps_per_phi: int = 0
+    sc_group: int = 1
 
     @classmethod
     def create(cls, h, interpolation: int) -> "FIRInterpolator":
         bank = _pfb.taps2pfb(h, interpolation)
-        return cls(pfb=jnp.asarray(bank), interpolation=interpolation,
-                   taps_per_phi=bank.shape[0])
+        g = _pick_group(interpolation, 1)
+        return cls(pfb=jnp.asarray(bank),
+                   k_super=_k_super(bank, interpolation, 1, g),
+                   interpolation=interpolation,
+                   taps_per_phi=bank.shape[0], sc_group=g)
 
     @property
     def nphi(self) -> int:
@@ -115,14 +146,18 @@ class FIRDecimator:
     """Integer decimator (1//M) kernel (reference: Filters.jl:45-58)."""
 
     taps_rev: Any = _array()
+    k_super: Any = _array(default=None)
     hlen: int = 0
     decimation: int = 1
+    sc_group: int = 1
 
     @classmethod
     def create(cls, h, decimation: int) -> "FIRDecimator":
         h = np.asarray(h)
-        return cls(taps_rev=jnp.asarray(h[::-1].copy()), hlen=h.shape[0],
-                   decimation=decimation)
+        g = _pick_group(1, decimation)
+        return cls(taps_rev=jnp.asarray(h[::-1].copy()),
+                   k_super=_k_super(h[::-1].reshape(-1, 1), 1, decimation, g),
+                   hlen=h.shape[0], decimation=decimation, sc_group=g)
 
     @property
     def taps_per_phi(self) -> int:
@@ -145,26 +180,21 @@ class FIRRational:
     """
 
     pfb: Any = _array()  # (taps_per_phi, L)
-    k_super: Any = _array(default=None)  # (2M+T, L) fresh-stream band matrix
+    k_super: Any = _array(default=None)  # fresh-stream band matrix (_k_super)
     interpolation: int = 1  # L
     decimation: int = 1     # M
     taps_per_phi: int = 0
+    sc_group: int = 1
 
     @classmethod
     def create(cls, h, interpolation: int, decimation: int) -> "FIRRational":
-        from .pallas.rational import build_k_matrix
-
         bank = _pfb.taps2pfb(h, interpolation)
-        T = bank.shape[0]
-        M = decimation
-        # Fresh-stream (phase 1, deficit 1) banded tap matrix, padded to the
-        # deficit-foldable height 2M+T used by the Pallas kernel.
-        k0 = build_k_matrix(bank, interpolation, M, phi0=1, origin=0)
-        k0 = np.concatenate(
-            [k0, np.zeros((M, interpolation), dtype=k0.dtype)], axis=0)
-        return cls(pfb=jnp.asarray(bank), k_super=jnp.asarray(k0),
+        g = _pick_group(interpolation, decimation)
+        return cls(pfb=jnp.asarray(bank),
+                   k_super=_k_super(bank, interpolation, decimation, g),
                    interpolation=interpolation,
-                   decimation=decimation, taps_per_phi=T)
+                   decimation=decimation, taps_per_phi=bank.shape[0],
+                   sc_group=g)
 
     @property
     def nphi(self) -> int:
@@ -198,10 +228,13 @@ class FIRArbitrary:
 
     pfb: Any = _array()   # (taps_per_phi, nphi)
     dpfb: Any = _array()  # (taps_per_phi, nphi)
+    kq_super: Any = _array(default=None)   # interp-geometry band of pfb
+    kdq_super: Any = _array(default=None)  # interp-geometry band of dpfb
     nphi: int = 32
     taps_per_phi: int = 0
     rate: float = 1.0
     delta_fx: int = 0  # nphi/rate in PHASE_FRAC_BITS fixed point
+    sc_group: int = 1
 
     @classmethod
     def create(cls, h, rate: float, nphi: int = 32) -> "FIRArbitrary":
@@ -211,9 +244,12 @@ class FIRArbitrary:
         dh = np.concatenate([np.diff(h), np.zeros(1, dtype=h.dtype)])
         bank = _pfb.taps2pfb(h, nphi)
         dbank = _pfb.taps2pfb(dh, nphi)
+        g = _pick_group(nphi, 1)
         return cls(pfb=jnp.asarray(bank), dpfb=jnp.asarray(dbank),
+                   kq_super=_k_super(bank, nphi, 1, g),
+                   kdq_super=_k_super(dbank, nphi, 1, g),
                    nphi=nphi, taps_per_phi=bank.shape[0], rate=float(rate),
-                   delta_fx=_delta_fx(nphi, float(rate)))
+                   delta_fx=_delta_fx(nphi, float(rate)), sc_group=g)
 
     @property
     def history_len(self) -> int:
@@ -234,11 +270,13 @@ class FIRFarrow:
 
     pfb: Any = _array()     # (taps_per_phi, nphi)
     coeffs: Any = _array()  # (polyorder+1, taps_per_phi), float64 fit
+    kf_super: Any = _array(default=None)  # per-power FIR band (interp geom)
     nphi: int = 32
     taps_per_phi: int = 0
     rate: float = 1.0
     delta_fx: int = 0
     polyorder: int = 4
+    sc_group: int = 1
 
     @classmethod
     def create(cls, h, rate: float, nphi: int, polyorder: int) -> "FIRFarrow":
@@ -246,9 +284,17 @@ class FIRFarrow:
             raise ValueError("rate must be greater than 0")
         bank = _pfb.taps2pfb(h, nphi)
         C = _pfb.pfb2pnfb(bank, polyorder)
+        # Per-power FIR bank: stream F[i*(P+1) + p] = dot(C[p, :], window_i)
+        # lets the Farrow output be y_n = sum_p phase^p * F[...], turning the
+        # irregular window gather into regular FIRs + a flat gather.
+        P1 = polyorder + 1
+        g = _pick_group(P1, 1)
+        cbank = np.ascontiguousarray(C.T)  # (T, P+1) "phases" = powers
         return cls(pfb=jnp.asarray(bank), coeffs=jnp.asarray(C),
+                   kf_super=_k_super(cbank, P1, 1, g),
                    nphi=nphi, taps_per_phi=bank.shape[0], rate=float(rate),
-                   delta_fx=_delta_fx(nphi, float(rate)), polyorder=polyorder)
+                   delta_fx=_delta_fx(nphi, float(rate)), polyorder=polyorder,
+                   sc_group=g)
 
     @property
     def history_len(self) -> int:

@@ -59,3 +59,68 @@ def test_build_k_matrix_band_structure():
     for r in range(4):
         off = (r * 3) // 4
         np.testing.assert_array_equal(K[off:off + 3, r], pfb[:, (r * 3) % 4])
+
+
+@pytest.mark.parametrize("spec,hlen", [((1, 1), 147), ((1, 4), 147),
+                                       ((4, 1), 147), ((1, 1), 3),
+                                       ((1, 16), 40), ((16, 1), 40)])
+def test_generalized_supercycle_all_kernels(rng, spec, hlen):
+    """standard/decimator/interpolator through the banded-K supercycle
+    machinery (grouped columns), both XLA and Pallas-interpret variants."""
+    from fractions import Fraction as F
+    h = rng.standard_normal(hlen).astype(np.float32)
+    x = rng.standard_normal(4000).astype(np.float32)
+    r = F(*spec)
+    ref = np.asarray(mr.filt(h, x, r, path="windows"))
+    for p in ("supercycle", "pallas"):
+        y = np.asarray(mr.filt(h, x, r, path=p))
+        assert y.shape == ref.shape, (spec, p)
+        np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"{spec} {p}")
+
+
+def test_generalized_supercycle_streaming_decimator(rng):
+    """Decimator deficit state through the banded path (origin folding)."""
+    from fractions import Fraction as F
+    h = rng.standard_normal(31).astype(np.float64)
+    x = rng.standard_normal(1000)
+    ref = np.asarray(mr.filt(h, x, F(1, 7), path="windows"))
+    f = mr.FIRFilter(h, F(1, 7), path="pallas")
+    got = np.concatenate([np.asarray(f.filt(x[i:i + 123]))
+                          for i in range(0, 984, 123)] +
+                         [np.asarray(f.filt(x[984:]))])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("rate", [0.4709, 1.7, 3.2])
+def test_phaseall_paths_match_windows(rng, rate):
+    """Arb/Farrow interpolate-everything + pallas select kernels vs the
+    windows reference path."""
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    x = rng.standard_normal(4000).astype(np.float32)
+    ref = np.asarray(mr.filt(h, x, rate, path="windows"))
+    for p in ("phaseall-xla", "phaseall"):
+        y = np.asarray(mr.filt(h, x, rate, path=p))
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"arb {p} rate={rate}")
+    reff = np.asarray(mr.filt(h, x, rate, 32, 4, path="windows"))
+    for p in ("phaseall-xla", "phaseall"):
+        y = np.asarray(mr.filt(h, x, rate, 32, 4, path=p))
+        assert y.shape == reff.shape
+        np.testing.assert_allclose(y, reff, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"farrow {p} rate={rate}")
+
+
+def test_phaseall_streaming_chunked(rng):
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float64)
+    x = rng.standard_normal(3000)
+    ref = np.asarray(mr.filt(h, x, 1.313, path="windows"))
+    f = mr.FIRFilter(h, 1.313, path="phaseall")
+    got = np.concatenate([np.asarray(f.filt(x[i:i + 600]))
+                          for i in range(0, 3000, 600)])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
