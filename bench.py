@@ -17,6 +17,7 @@ RMS) go to stderr only.
 """
 
 import json
+import os
 import sys
 import time
 from fractions import Fraction
@@ -107,6 +108,26 @@ def main():
     roofline_msps = HBM_GBPS * 1e9 / (4 + 4 * 147 / 160) / 1e6
     log(f"HBM roofline ~{roofline_msps:.0f} Msamples/s; "
         f"achieved {100 * msps / roofline_msps:.1f}%")
+
+    # Optional: the full BASELINE.json config sweep (stderr only).
+    if os.environ.get("BENCH_ALL"):
+        h147 = np.asarray(
+            mr.firdes(147, 0.2, mr.kaiser, beta=7.0), dtype=np.float32)
+        ha = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+              ).astype(np.float32)
+        sweep = [
+            ("standard 147taps", mr.make_kernel(h147, ratio=Fraction(1, 1))),
+            ("decim 1//4", mr.make_kernel(h147, ratio=Fraction(1, 4))),
+            ("interp 4//1", mr.make_kernel(h147, ratio=Fraction(4, 1))),
+            ("arbitrary r=0.4709", mr.make_kernel(ha, rate=0.4709, nphi=32)),
+            ("farrow r=0.4709", mr.make_kernel(ha, rate=0.4709, nphi=32,
+                                               polyorder=4)),
+        ]
+        for name, p in sweep:
+            st = mr.init_state(p, (), jnp.float32)
+            sec = time_chained(jax, jnp, p, st, x, "auto", rtt, iters=3)
+            log(f"config [{name}]: {sec*1e3:.3f} ms/1M "
+                f"-> {N/sec/1e6:.0f} Msamples/s in")
 
     # chunked-vs-whole RMS (the correctness metric in BASELINE.json)
     whole = np.asarray(mr.filt_block(params, state0, x)[0])

@@ -1,0 +1,104 @@
+"""Native ring buffer + streaming driver tests."""
+
+import threading
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+import multirate_tpu as mr
+from multirate_tpu.io import RingBuffer, StreamingResampler
+from multirate_tpu.utils.testing import assert_close
+
+
+def test_ring_basic():
+    r = RingBuffer(1024)
+    assert r.capacity >= 1024
+    assert len(r) == 0
+    data = np.arange(100, dtype=np.float32)
+    assert r.push(data) == 100
+    blk = r.pop_block(64)
+    np.testing.assert_array_equal(blk, data[:64])
+    assert len(r) == 36
+    assert r.pop_block(64) is None  # not enough
+    np.testing.assert_array_equal(r.drain(), data[64:])
+
+
+def test_ring_wraparound():
+    r = RingBuffer(64)  # capacity rounds to 64
+    cap = r.capacity
+    for rep in range(10):  # repeatedly fill/empty to cross the wrap point
+        data = np.arange(rep, rep + cap - 8, dtype=np.float32)
+        assert r.push(data) == data.size
+        got = r.pop_block(data.size)
+        np.testing.assert_array_equal(got, data)
+
+
+def test_ring_full_rejects():
+    r = RingBuffer(64)
+    cap = r.capacity
+    assert r.push(np.zeros(cap, np.float32)) == cap
+    assert r.push(np.ones(1, np.float32)) == 0  # full
+
+
+def test_ring_int16_conversion():
+    r = RingBuffer(256)
+    pcm = np.array([-32768, -16384, 0, 16384, 32767], dtype=np.int16)
+    r.push(pcm)
+    got = r.drain()
+    np.testing.assert_allclose(got, pcm.astype(np.float32) / 32768.0,
+                               atol=1e-7)
+
+
+def test_ring_threaded_producer_consumer():
+    """SPSC correctness under concurrency: a producer thread streams a known
+    sequence in random chunks; the consumer reassembles it exactly."""
+    rng = np.random.default_rng(0)
+    total = 200_000
+    data = rng.standard_normal(total).astype(np.float32)
+    r = RingBuffer(1 << 14)
+    out = []
+
+    def produce():
+        i = 0
+        while i < total:
+            n = int(rng.integers(1, 4096))
+            n = min(n, total - i)
+            while r.push(data[i:i + n]) == 0:
+                pass  # ring full: spin
+            i += n
+
+    t = threading.Thread(target=produce)
+    t.start()
+    got = 0
+    while got < total:
+        blk = r.pop_block(min(1024, total - got))
+        if blk is None:
+            tail = r.drain(total - got) if not t.is_alive() else None
+            if tail is not None and tail.size:
+                out.append(tail)
+                got += tail.size
+            continue
+        out.append(blk)
+        got += blk.size
+    t.join()
+    np.testing.assert_array_equal(np.concatenate(out), data)
+
+
+@pytest.mark.parametrize("spec", [Fraction(147, 160), 1.2345])
+def test_streaming_resampler_equals_whole(rng, spec):
+    h = (mr.firdes(24 * 21, 0.5 / 21, mr.kaiser, beta=7.0) * 21
+         ).astype(np.float32)
+    x = rng.standard_normal(50_000).astype(np.float32)
+    whole = np.asarray(mr.filt(h, x, spec))
+
+    s = StreamingResampler(mr.FIRFilter(h, spec), block_size=8192)
+    i = 0
+    while i < len(x):
+        n = int(rng.integers(100, 5000))
+        n = min(n, len(x) - i)
+        s.push(x[i:i + n])
+        i += n
+    got = s.flush()
+    assert got.shape == whole.shape
+    assert_close(got, whole, rtol=1e-5, atol=1e-6, label=f"stream {spec}")
