@@ -51,28 +51,48 @@ def measure_rtt(jax, jnp):
 
 
 def time_chained(jax, jnp, params, state, x, path, rtt, iters=5):
-    """Median per-iteration seconds of R dependency-chained filter runs."""
+    """Per-iteration seconds of dependency-chained filter runs.
+
+    Times the chain at two trip counts and uses the slope, so the (jittery,
+    ~25-32 ms) relay round-trip and any other fixed dispatch costs cancel
+    exactly instead of being subtracted as a separately-measured estimate.
+    """
+    from functools import partial
+
     from jax import lax
 
     from multirate_tpu.ops.compute import filt_block_raw
 
-    @jax.jit
-    def many(s, xx):
+    @partial(jax.jit, static_argnames=("reps",))
+    def many(s, xx, reps):
         def body(i, carry):
             xx, acc = carry
             y, _, _ = filt_block_raw(params, s, xx, path)
-            xx = xx.at[0].set(xx[0] + y[-1] * 1e-30)  # real dependency
+            # multiplicative dependency: EVERY input element of iteration
+            # i+1 depends on iteration i's output, so iterations serialize
+            # fully (a scalar-into-one-element dependency would let XLA
+            # overlap tiles across iterations and overstate throughput)
+            xx = xx * (1.0 + y[-1] * 1e-30)
             return (xx, acc + y[-1])
-        _, acc = lax.fori_loop(0, REPEAT, body, (xx, jnp.zeros((), xx.dtype)))
+        _, acc = lax.fori_loop(0, reps, body, (xx, jnp.zeros((), xx.dtype)))
         return acc
 
-    float(many(state, x))  # compile + warm
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(many(state, x))
-        ts.append(time.perf_counter() - t0)
-    return (float(np.median(ts)) - rtt) / REPEAT
+    def med(reps):
+        float(many(state, x, reps))  # compile + warm
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(many(state, x, reps))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    r1 = REPEAT
+    t1 = med(r1)
+    # pick the second trip count so the extra work dwarfs RTT jitter (~5 ms)
+    per_est = max(t1 / r1, 1e-6)
+    r2 = r1 + max(r1, int(0.25 / per_est))
+    t2 = med(r2)
+    return max((t2 - t1) / (r2 - r1), 1e-9)
 
 
 def main():
