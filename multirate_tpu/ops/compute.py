@@ -324,13 +324,18 @@ def _arb_phaseall(params: FIRArbitrary, xext, u0, d0, n_max, dt, path):
     alpha = ((u & (PHASE_ONE - 1)).astype(jnp.float64)
              * (2.0 ** -PHASE_FRAC_BITS))
     q = jnp.clip(q, 0, n_up - 1)
-    if path == "phaseall" and Q.ndim == 1:
+    if path == "phaseall":
         from .pallas.select import monotone_select_pallas
 
         max_step = (params.delta_fx >> PHASE_FRAC_BITS) + 1
-        return monotone_select_pallas(
-            Q, dQ, q, alpha.astype(dt), max_step,
-            interpret=jax.default_backend() != "tpu").astype(dt)
+        interp = jax.default_backend() != "tpu"
+        sel = lambda qq, dqq: monotone_select_pallas(  # noqa: E731
+            qq, dqq, q, alpha.astype(dt), max_step, interpret=interp)
+        if Q.ndim == 1:
+            return sel(Q, dQ).astype(dt)
+        lead = Q.shape[:-1]
+        out = jax.vmap(sel)(Q.reshape(-1, n_up), dQ.reshape(-1, n_up))
+        return out.reshape(*lead, n_max).astype(dt)
     yl = jnp.take(Q, q, axis=-1, mode="clip")
     yu = jnp.take(dQ, q, axis=-1, mode="clip")
     return (yl + alpha.astype(dt) * yu).astype(dt)
@@ -360,14 +365,19 @@ def _farrow_phaseall(params: FIRFarrow, xext, u0, d0, n_max, dt, path):
     phase_val = 1.0 + (u % D).astype(jnp.float64) * (2.0 ** -PHASE_FRAC_BITS)
     powers = phase_val[:, None] ** jnp.arange(P1, dtype=jnp.float64)[None, :]
     qrows = jnp.clip(inp0, 0, n_in - 1) * P1
-    if path == "phaseall" and F.ndim == 1:
+    if path == "phaseall":
         from .pallas.select import poly_select_pallas
 
         max_step = ((params.delta_fx >> PHASE_FRAC_BITS) // params.nphi + 1) \
             * P1
-        return poly_select_pallas(
-            F, qrows, powers.astype(dt), max_step,
-            interpret=jax.default_backend() != "tpu").astype(dt)
+        interp = jax.default_backend() != "tpu"
+        sel = lambda ff: poly_select_pallas(  # noqa: E731
+            ff, qrows, powers.astype(dt), max_step, interpret=interp)
+        if F.ndim == 1:
+            return sel(F).astype(dt)
+        lead = F.shape[:-1]
+        out = jax.vmap(sel)(F.reshape(-1, F.shape[-1]))
+        return out.reshape(*lead, -1).astype(dt)
     q = qrows[:, None] + jnp.arange(P1, dtype=jnp.int64)[None, :]
     Fg = jnp.take(F, q, axis=-1, mode="clip")      # (..., n_max, P1)
     return jnp.einsum("...np,np->...n", Fg, powers.astype(dt)).astype(dt)
@@ -438,20 +448,22 @@ _IMPL = {
 
 
 def _auto_path(params, x):
-    cx = jnp.issubdtype(x.dtype, jnp.complexfloating) or jnp.issubdtype(
+    # Complex *taps* force the universal windows path; complex signals with
+    # real taps go planar through the fast paths (see filt_block_raw).
+    cx_taps = jnp.issubdtype(
         (params.taps_rev if hasattr(params, "taps_rev") else params.pfb).dtype,
         jnp.complexfloating)
     on_tpu = jax.default_backend() == "tpu"
     if isinstance(params, (FIRStandard, FIRInterpolator, FIRDecimator)):
-        if cx:
+        if cx_taps:
             return "windows"
         return "pallas" if on_tpu else "conv"
     if isinstance(params, FIRRational):
-        if not cx and on_tpu:
-            return "pallas"
-        return "supercycle"
+        if cx_taps:
+            return "windows" if on_tpu else "supercycle"
+        return "pallas" if on_tpu else "supercycle"
     if isinstance(params, (FIRArbitrary, FIRFarrow)):
-        if cx:
+        if cx_taps:
             return "windows"
         return "phaseall" if on_tpu else "windows"
     return "windows"
@@ -464,7 +476,29 @@ def filt_block_raw(params, state: FilterState, x, path: str = "auto"):
     time axis; only the first ``count`` samples are meaningful. The reference
     returns (buffer, samples_written) with inconsistent conventions
     (SURVEY.md section 2.2 item 8); this API is uniform.
+
+    Complex signals against real taps (the reference's pinned mixed case,
+    runtests.jl:393) route through the real fast paths planar-wise: re/im
+    stack as one extra batch dim, filter once, recombine.
     """
     if path == "auto":
         path = _auto_path(params, x)
+        taps = params.taps_rev if hasattr(params, "taps_rev") else params.pfb
+        if (jnp.issubdtype(x.dtype, jnp.complexfloating)
+                and not jnp.issubdtype(taps.dtype, jnp.complexfloating)
+                and path != "windows"):
+            xr = jnp.stack([x.real, x.imag], axis=0)  # (2, ..., N)
+            hist = state.history
+            hr = jnp.stack([hist.real, hist.imag], axis=0) \
+                if jnp.issubdtype(hist.dtype, jnp.complexfloating) \
+                else jnp.stack([hist, jnp.zeros_like(hist)], axis=0)
+            st = FilterState(history=hr, phase=state.phase,
+                             deficit=state.deficit)
+            y2, count, st2 = _IMPL[type(params)](params, st, xr, path)
+            y = jax.lax.complex(y2[0], y2[1]).astype(
+                jnp.promote_types(taps.dtype, x.dtype))
+            nh = jax.lax.complex(st2.history[0], st2.history[1]).astype(
+                x.dtype)
+            return y, count, FilterState(history=nh, phase=st2.phase,
+                                         deficit=st2.deficit)
     return _IMPL[type(params)](params, state, x, path)

@@ -124,3 +124,36 @@ def test_phaseall_streaming_chunked(rng):
                           for i in range(0, 3000, 600)])
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
+
+
+def test_complex_signal_planar_fast_paths(rng):
+    """Complex x with real taps planar-routes through the fast paths (auto)
+    and matches the native-complex windows path."""
+    from fractions import Fraction as F
+    h = rng.standard_normal(96).astype(np.float32)
+    x = (rng.standard_normal(3000) + 1j * rng.standard_normal(3000)
+         ).astype(np.complex64)
+    for spec in (F(1, 1), F(1, 4), F(4, 1), F(7, 5)):
+        ref = np.asarray(mr.filt(h, x, spec, path="windows"))
+        y = np.asarray(mr.filt(h, x, spec, path="auto"))
+        assert y.dtype == ref.dtype
+        np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-5,
+                                   err_msg=str(spec))
+    # streaming complex with state carry through the planar route
+    f = mr.FIRFilter(h, F(7, 5))
+    got = np.concatenate([np.asarray(f.filt(x[i:i + 750]))
+                          for i in range(0, 3000, 750)])
+    ref = np.asarray(mr.filt(h, x, F(7, 5), path="windows"))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_batched_phaseall_vmapped_select(rng):
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    x = rng.standard_normal((3, 2000)).astype(np.float32)
+    ref = np.asarray(mr.filt(h, x, 1.313, path="windows"))
+    y = np.asarray(mr.filt(h, x, 1.313, path="phaseall"))
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-5)
+    reff = np.asarray(mr.filt(h, x, 1.313, 32, 4, path="windows"))
+    yf = np.asarray(mr.filt(h, x, 1.313, 32, 4, path="phaseall"))
+    np.testing.assert_allclose(yf, reff, rtol=2e-3, atol=2e-3)
