@@ -50,7 +50,7 @@ def measure_rtt(jax, jnp):
     return float(np.median(ts))
 
 
-def time_chained(jax, jnp, params, state, x, path, rtt, iters=5):
+def time_chained(jax, jnp, params, state, x, path, rtt, iters=6):
     """Per-iteration seconds of dependency-chained filter runs.
 
     Times the chain at two trip counts and uses the slope, so the (jittery,
@@ -77,21 +77,21 @@ def time_chained(jax, jnp, params, state, x, path, rtt, iters=5):
         _, acc = lax.fori_loop(0, reps, body, (xx, jnp.zeros((), xx.dtype)))
         return acc
 
-    def med(reps):
+    def tmin(reps):
         float(many(state, x, reps))  # compile + warm
         ts = []
         for _ in range(iters):
             t0 = time.perf_counter()
             float(many(state, x, reps))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return float(np.min(ts))
 
     r1 = REPEAT
-    t1 = med(r1)
+    t1 = tmin(r1)
     # pick the second trip count so the extra work dwarfs RTT jitter (~5 ms)
     per_est = max(t1 / r1, 1e-6)
-    r2 = r1 + max(r1, int(0.25 / per_est))
-    t2 = med(r2)
+    r2 = r1 + max(r1, min(int(0.5 / per_est), 20000))
+    t2 = tmin(r2)
     return max((t2 - t1) / (r2 - r1), 1e-9)
 
 

@@ -69,7 +69,9 @@ def _kernel(x_a, x_b, k_ref, o_ref, *, JT: int, M: int, U: int, L: int):
     # y[j] = sum_u x[j*M + u] * K[u, :]  decomposed into per-part matmuls
     # (Mosaic dislikes lane-axis concatenation, so X3 is never formed):
     #   y = sum_i xcat[i : i + JT, :w_i] @ K[i*M : i*M + w_i, :]
-    xcat = jnp.concatenate([x_a[:], x_b[:]], axis=0)       # (2*JT, M)
+    # x_b is only the tiny (JT2-row) head of the NEXT tile's block — the
+    # U-sample overlap — so each input row is fetched ~once, not twice.
+    xcat = jnp.concatenate([x_a[:], x_b[:]], axis=0)       # (JT+JT2, M)
     acc = jnp.zeros((JT, L), dtype=x_a.dtype)
     u = 0
     i = 0
@@ -93,18 +95,29 @@ def rational_supercycle_pallas(x, K, L: int, M: int, n_out: int,
     outputs.
     """
     U = K.shape[0]
+    # overlap rows needed from the next tile: k_parts - 1, padded to 8s;
+    # fetching only these (instead of the whole next block) makes the
+    # kernel effectively single-read over x
+    k_parts = -(-U // M)
+    JT2 = max(8, -(-(k_parts - 1) // 8) * 8)
     if JT is None:
         # ~512K input samples per tile block, bounded tile VMEM footprint
-        JT = max(8, min(512, 131072 // M))
-        while JT * M < U:
+        JT = max(JT2, min(512, 131072 // M))
+        while JT * M < U or JT % JT2:
             JT *= 2
     if U > JT * M:
         raise ValueError(f"tile too small: U={U} > JT*M={JT * M}")
+    while JT % JT2 and JT2 < JT:
+        JT2 += 8                    # grow until it divides JT
+    if JT % JT2 or JT2 > JT:
+        JT2 = JT                    # fallback: fetch the full next block
     J_total = -(-n_out // L)
     num_tiles = -(-J_total // JT)
-    need = (num_tiles + 1) * JT * M     # block j+1 must exist for last tile
+    # pad x so the overlap head after the last tile exists
+    need = (num_tiles * JT + JT2) * M
     x_pad = jnp.pad(x, (0, max(0, need - x.shape[0])))[:need]
     x2d = x_pad.reshape(-1, M)          # free HBM relayout
+    ratio = JT // JT2
 
     out = pl.pallas_call(
         functools.partial(_kernel, JT=JT, M=M, U=U, L=L),
@@ -116,7 +129,7 @@ def rational_supercycle_pallas(x, K, L: int, M: int, n_out: int,
             # rejects the mixed-width index tuple.
             pl.BlockSpec((JT, M), lambda j: (j, j * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((JT, M), lambda j: (j + 1, j * 0),
+            pl.BlockSpec((JT2, M), lambda j: ((j + 1) * ratio, j * 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((U, L), lambda j: (j * 0, j * 0),
                          memory_space=pltpu.VMEM),
