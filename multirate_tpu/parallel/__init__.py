@@ -12,6 +12,7 @@ sequential scan across devices.
 from .sharded import (
     make_mesh, shard_filt_block, shard_filt, sharded_resample, compact,
 )
+from .multihost import initialize, is_multihost, local_data_slice
 
 __all__ = ["make_mesh", "shard_filt_block", "shard_filt", "sharded_resample",
-           "compact"]
+           "compact", "initialize", "is_multihost", "local_data_slice"]

@@ -180,3 +180,26 @@ def test_models_resampler(rng):
     arb = Resampler(1.4142135, attenuation=50.0)
     y = np.asarray(arb(np.ones(400, np.float32)))
     assert abs(y.shape[-1] - int(400 * 1.4142135)) <= 2
+
+
+def test_debug_check_block(rng):
+    """utils.debug cross-path sanitizer validates fast paths and index math."""
+    from multirate_tpu.utils import check_block, check_indices
+    import jax.numpy as jnp
+    h = rng.standard_normal(36)
+    x = jnp.asarray(rng.standard_normal(500))
+    for spec in (Fraction(7, 5), Fraction(1, 4), 1.234):
+        if isinstance(spec, float):
+            p = mr.make_kernel(h, rate=spec)
+        else:
+            p = mr.make_kernel(h, ratio=spec)
+        st = mr.init_state(p, (), x.dtype)
+        check_block(p, st, x, rtol=1e-8, atol=1e-9)
+        check_indices(p, int(st.phase), 1, 500)
+
+
+def test_multihost_helpers():
+    from multirate_tpu.parallel import is_multihost, local_data_slice
+    assert not is_multihost()
+    start, n = local_data_slice(1000)
+    assert (start, n) == (0, 1000)
