@@ -383,6 +383,56 @@ def _farrow_phaseall(params: FIRFarrow, xext, u0, d0, n_max, dt, path):
     return jnp.einsum("...np,np->...n", Fg, powers.astype(dt)).astype(dt)
 
 
+def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
+    """Fully fused arbitrary resample: closed-form (window start, phase,
+    alpha) vectors feed one Pallas kernel that builds per-output taps from
+    the tiny banks in VMEM and reads windows straight from x — no
+    interpolated stream, no window matrix, nothing intermediate in HBM."""
+    from .pallas.select import window_select_pallas
+
+    from .params import PHASE_FRAC_BITS
+
+    inp, phi, frac = idx.accum_indices(
+        params.nphi, params.delta_fx, u0, d0, n_max)
+    starts = inp - 1
+    D = params.nphi << PHASE_FRAC_BITS
+    max_step = int(params.delta_fx // D) + 1
+    interp = jax.default_backend() != "tpu"
+    run = lambda xv: window_select_pallas(  # noqa: E731
+        xv.astype(dt), starts, phi, frac.astype(dt),
+        params.pfb.astype(dt), params.dpfb.astype(dt), max_step,
+        interpret=interp)
+    if xext.ndim == 1:
+        return run(xext)
+    lead = xext.shape[:-1]
+    out = jax.vmap(run)(xext.reshape(-1, xext.shape[-1]))
+    return out.reshape(*lead, n_max)
+
+
+def _farrow_winsel(params: FIRFarrow, xext, u0, d0, n_max, dt):
+    from .pallas.select import window_select_farrow_pallas
+
+    from .params import PHASE_FRAC_BITS
+
+    inp, phi, frac = idx.accum_indices(
+        params.nphi, params.delta_fx, u0, d0, n_max)
+    starts = inp - 1
+    phase_val = 1.0 + phi.astype(jnp.float64) + frac
+    powers = phase_val[:, None] ** jnp.arange(params.polyorder + 1,
+                                              dtype=jnp.float64)[None, :]
+    D = params.nphi << PHASE_FRAC_BITS
+    max_step = int(params.delta_fx // D) + 1
+    interp = jax.default_backend() != "tpu"
+    run = lambda xv: window_select_farrow_pallas(  # noqa: E731
+        xv.astype(dt), starts, powers.astype(dt),
+        params.coeffs.astype(dt), max_step, interpret=interp)
+    if xext.ndim == 1:
+        return run(xext)
+    lead = xext.shape[:-1]
+    out = jax.vmap(run)(xext.reshape(-1, xext.shape[-1]))
+    return out.reshape(*lead, n_max)
+
+
 def _arbitrary(params: FIRArbitrary, state, x, path):
     T = params.taps_per_phi
     xlen = x.shape[-1]
@@ -391,7 +441,9 @@ def _arbitrary(params: FIRArbitrary, state, x, path):
     count, u_next, d0_next = idx.accum_carry(
         params.nphi, params.delta_fx, state.phase, state.deficit, xlen)
     dt = _out_dtype(params, x)
-    if path.startswith("phaseall"):
+    if path == "winsel":
+        y = _arb_winsel(params, xext, state.phase, state.deficit, n_max, dt)
+    elif path.startswith("phaseall"):
         y = _arb_phaseall(params, xext, state.phase, state.deficit, n_max,
                           dt, path)
     else:
@@ -417,7 +469,10 @@ def _farrow(params: FIRFarrow, state, x, path):
     count, u_next, d0_next = idx.accum_carry(
         params.nphi, params.delta_fx, state.phase, state.deficit, xlen)
     dt = _out_dtype(params, x)
-    if path.startswith("phaseall"):
+    if path == "winsel":
+        y = _farrow_winsel(params, xext, state.phase, state.deficit, n_max,
+                           dt)
+    elif path.startswith("phaseall"):
         y = _farrow_phaseall(params, xext, state.phase, state.deficit, n_max,
                              dt, path)
     else:
@@ -465,7 +520,7 @@ def _auto_path(params, x):
     if isinstance(params, (FIRArbitrary, FIRFarrow)):
         if cx_taps:
             return "windows"
-        return "phaseall" if on_tpu else "windows"
+        return "winsel" if on_tpu else "windows"
     return "windows"
 
 

@@ -157,3 +157,35 @@ def test_batched_phaseall_vmapped_select(rng):
     reff = np.asarray(mr.filt(h, x, 1.313, 32, 4, path="windows"))
     yf = np.asarray(mr.filt(h, x, 1.313, 32, 4, path="phaseall"))
     np.testing.assert_allclose(yf, reff, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("rate", [0.4709, 1.0 + 1e-9, 1.7, 3.2])
+def test_winsel_paths_match_windows(rng, rate):
+    """Fully fused winsel kernels (arb + Farrow) vs the windows path,
+    stateless and chunked streaming."""
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    x = rng.standard_normal(4000).astype(np.float32)
+    ref = np.asarray(mr.filt(h, x, rate, path="windows"))
+    y = np.asarray(mr.filt(h, x, rate, path="winsel"))
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-5)
+    reff = np.asarray(mr.filt(h, x, rate, 32, 4, path="windows"))
+    yf = np.asarray(mr.filt(h, x, rate, 32, 4, path="winsel"))
+    np.testing.assert_allclose(yf, reff, rtol=2e-3, atol=2e-3)
+
+
+def test_winsel_streaming_and_batch(rng):
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float64)
+    x = rng.standard_normal(3000)
+    ref = np.asarray(mr.filt(h, x, 1.313, path="windows"))
+    f = mr.FIRFilter(h, 1.313, path="winsel")
+    got = np.concatenate([np.asarray(f.filt(x[i:i + 600]))
+                          for i in range(0, 3000, 600)])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
+    xb = rng.standard_normal((3, 2000)).astype(np.float32)
+    refb = np.asarray(mr.filt(h.astype(np.float32), xb, 0.77, path="windows"))
+    yb = np.asarray(mr.filt(h.astype(np.float32), xb, 0.77, path="winsel"))
+    np.testing.assert_allclose(yb, refb, rtol=2e-4, atol=2e-5)
