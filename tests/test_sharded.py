@@ -102,3 +102,16 @@ def test_block_too_short_raises(rng):
     x = rng.standard_normal((1, 1600))
     with pytest.raises(ValueError):
         shard_filt(p, x, mesh)
+
+
+def test_multichannel_resampler_model(rng):
+    """models.MultiChannelResampler end to end on the CPU mesh."""
+    from multirate_tpu.models import MultiChannelResampler
+    m = MultiChannelResampler(Fraction(3, 2), n_ch_shards=2,
+                              attenuation=50.0)
+    x = rng.standard_normal((8, 1200)).astype(np.float32)
+    y = np.asarray(m(x))
+    assert y.shape == (8, 1800)
+    ref = np.asarray(mr.filt(m.taps, x[3], Fraction(3, 2)))
+    assert_close(y[3], ref[: y.shape[-1]], rtol=1e-4, atol=1e-5,
+                 label="mc model")
