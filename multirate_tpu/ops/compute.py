@@ -520,7 +520,10 @@ def _auto_path(params, x):
     if isinstance(params, (FIRArbitrary, FIRFarrow)):
         if cx_taps:
             return "windows"
-        return "winsel" if on_tpu else "windows"
+        # phaseall (interpolate-everything + monotone select) measures at
+        # or above the fused winsel kernel per output on v5e; both are
+        # available explicitly. See ROADMAP.md for the round-2 plan.
+        return "phaseall" if on_tpu else "windows"
     return "windows"
 
 

@@ -220,7 +220,7 @@ def _win_kernel(bs_ref, q_ref, phi_ref, alpha_ref, xa, xb, pfbt, dpfbt,
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (B, _LANES), 1)
     W = jnp.zeros((B, _LANES), xcat.dtype)
     for t in range(T):
-        sh_amt = (_LANES - t) % _LANES
+        sh_amt = jnp.int32((_LANES - t) % _LANES)
         ra = pltpu.roll(A, sh_amt, axis=1)
         rb = pltpu.roll(A2, sh_amt, axis=1)
         sh = jnp.where(lanes_iota < _LANES - t, ra, rb)
@@ -306,7 +306,7 @@ def _win_farrow_kernel(bs_ref, q_ref, pw_ref, xa, xb, coeffs, o_ref,
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (B, _LANES), 1)
     W = jnp.zeros((B, _LANES), xcat.dtype)
     for t in range(T):
-        sh_amt = (_LANES - t) % _LANES
+        sh_amt = jnp.int32((_LANES - t) % _LANES)
         ra = pltpu.roll(A, sh_amt, axis=1)
         rb = pltpu.roll(A2, sh_amt, axis=1)
         sh = jnp.where(lanes_iota < _LANES - t, ra, rb)
