@@ -469,7 +469,17 @@ def _farrow(params: FIRFarrow, state, x, path):
     count, u_next, d0_next = idx.accum_carry(
         params.nphi, params.delta_fx, state.phase, state.deficit, xlen)
     dt = _out_dtype(params, x)
-    if path == "winsel":
+    if path == "ratgrid":
+        from .ratgrid import farrow_ratgrid_apply
+
+        if params.ratgrid_meta is None or n_max > params.ratgrid_meta[-1]:
+            raise ValueError(
+                "no rational-grid plan for this configuration/block size; "
+                "use path='phaseall' or 'windows'")
+        y = farrow_ratgrid_apply(
+            params.ratgrid_meta, params.k_ratgrid, params.nphi,
+            params.delta_fx, xext, state.phase, state.deficit, n_max, dt)
+    elif path == "winsel":
         y = _farrow_winsel(params, xext, state.phase, state.deficit, n_max,
                            dt)
     elif path.startswith("phaseall"):
@@ -517,6 +527,12 @@ def _auto_path(params, x):
         if cx_taps:
             return "windows" if on_tpu else "supercycle"
         return "pallas" if on_tpu else "supercycle"
+    if isinstance(params, FIRFarrow) and not cx_taps:
+        if (params.ratgrid_meta is not None
+                and idx.max_outputs(params, x.shape[-1])
+                <= params.ratgrid_meta[-1]
+                and (on_tpu or x.shape[-1] >= 4096)):
+            return "ratgrid"      # static banded matmul, no gathers at all
     if isinstance(params, (FIRArbitrary, FIRFarrow)):
         if cx_taps:
             return "windows"

@@ -271,12 +271,14 @@ class FIRFarrow:
     pfb: Any = _array()     # (taps_per_phi, nphi)
     coeffs: Any = _array()  # (polyorder+1, taps_per_phi), float64 fit
     kf_super: Any = _array(default=None)  # per-power FIR band (interp geom)
+    k_ratgrid: Any = _array(default=None)  # rational-grid banded K
     nphi: int = 32
     taps_per_phi: int = 0
     rate: float = 1.0
     delta_fx: int = 0
     polyorder: int = 4
     sc_group: int = 1
+    ratgrid_meta: tuple | None = None
 
     @classmethod
     def create(cls, h, rate: float, nphi: int, polyorder: int) -> "FIRFarrow":
@@ -290,11 +292,15 @@ class FIRFarrow:
         P1 = polyorder + 1
         g = _pick_group(P1, 1)
         cbank = np.ascontiguousarray(C.T)  # (T, P+1) "phases" = powers
+        dfx = _delta_fx(nphi, float(rate))
+        from .ratgrid import build_ratgrid_plan
+        rg_meta, rg_k = build_ratgrid_plan(C, nphi, dfx)
         return cls(pfb=jnp.asarray(bank), coeffs=jnp.asarray(C),
                    kf_super=_k_super(cbank, P1, 1, g),
+                   k_ratgrid=None if rg_k is None else jnp.asarray(rg_k),
                    nphi=nphi, taps_per_phi=bank.shape[0], rate=float(rate),
-                   delta_fx=_delta_fx(nphi, float(rate)), polyorder=polyorder,
-                   sc_group=g)
+                   delta_fx=dfx, polyorder=polyorder,
+                   sc_group=g, ratgrid_meta=rg_meta)
 
     @property
     def history_len(self) -> int:

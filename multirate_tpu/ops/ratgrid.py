@@ -1,0 +1,144 @@
+"""Rational-grid (convergent) formulation of the Farrow resampler.
+
+The arbitrary-rate kernels' irregularity comes from the fractional input
+stride delta/nphi. But the *exact* fixed-point stride delta_fx / D is
+rational, and its continued-fraction convergent M'/L' approximates it so
+well that over millions of outputs the true window start
+
+    start_n = (u_n) div D,   n = jj*L' + r
+
+differs from the rational grid jj*M' + s_r (s_r = (r*delta_fx) div D) by a
+bounded small integer b_n: the residue eps = L'*delta_fx - M'*D satisfies
+|eps| < D/L' (convergent property), so drift accumulates at < 1/L'^2
+window slots per output.
+
+The Farrow taps are polynomial in the continuous phase (no floor()), so
+the whole resample becomes ONE static banded matmul
+
+    G (JJ, n_b*(P+1)*L') = X3 (JJ, U) @ K
+    K[u, (b, p, r)] = coeffs[p, u - (s_r - s_0 + b - b_min)]
+
+followed by purely elementwise math: G reshaped to (outputs, n_b, P+1) is
+already in exact output order (output n = jj*L' + r IS row jj, column r),
+and y_n = sum_p psi_n^p * G[n, b_idx_n, p] with psi/b closed-form vectors.
+No gathers, no scatters, no dynamic shapes — MXU + VPU only.
+
+(The FIRArbitrary kernel's floor-based bank indexing does not linearize
+this way — its phase column drifts with the stream offset — so for top TPU
+speed at arbitrary rates use FIRFarrow; it is exact to its own reference
+semantics, Filters.jl:123-147.)
+
+The plan (convergent, drift window, banded K) is built once at kernel
+construction for blocks up to N_CAP outputs and stored in the params
+pytree; larger blocks fall back to other paths.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import PHASE_FRAC_BITS
+
+__all__ = ["build_ratgrid_plan", "farrow_ratgrid_apply", "N_CAP"]
+
+N_CAP = 1 << 24        # absolute bound on outputs per block for any plan
+_DRIFT_SLOTS = 4       # drift budget (window slots) => n_b <= 6
+_MIN_CAP = 1 << 16     # plans valid for fewer outputs aren't worth having
+
+
+def build_ratgrid_plan(coeffs: np.ndarray, nphi: int, delta_fx: int):
+    """(meta, K) for the rational-grid Farrow path, or (None, None).
+
+    meta = (L2, M2, eps, b_min, n_b, U, P1, T, n_cap) — python ints stored
+    as a static params field; K is the dense banded matrix (float64; cast to the
+    compute dtype at apply time).
+    ``n_cap`` is the per-block output-count bound that keeps the drift
+    within the built variant window (rate-adaptive: better convergents
+    drift slower and support bigger blocks).
+    """
+    D = nphi << PHASE_FRAC_BITS
+    conv = Fraction(delta_fx, D).limit_denominator(512)
+    M2, L2 = conv.numerator, conv.denominator
+    if M2 == 0:
+        return None, None
+    eps = L2 * delta_fx - M2 * D
+    if eps == 0:
+        n_cap = N_CAP
+    else:
+        jj_cap = (_DRIFT_SLOTS * D) // abs(eps)
+        n_cap = min(N_CAP, jj_cap * L2)
+    if n_cap < _MIN_CAP:
+        return None, None
+    jj_cap = n_cap // L2 + 1
+    drift_lo = min(0, eps * jj_cap)
+    drift_hi = max(0, eps * jj_cap)
+    b_min = drift_lo // D                     # b = (u0r + fr + jj*eps) div D
+    b_max = (2 * (D - 1) + drift_hi) // D
+    n_b = int(b_max - b_min) + 1
+
+    C = np.asarray(coeffs, dtype=np.float64)  # (P+1, T)
+    P1, T = C.shape
+    s_r = [(r * delta_fx) // D for r in range(L2)]
+    U = int(M2 + T + (b_max - b_min))
+    # column order (r, b, p) with p fastest: G then reshapes straight to
+    # (JJ, L2, n_b, P1) = (outputs, n_b, P1) with NO transpose.
+    K = np.zeros((U, L2 * n_b * P1), dtype=np.float64)
+    for r in range(L2):
+        for bi in range(n_b):
+            for p in range(P1):
+                off = int(s_r[r] + bi)        # s_0 == 0; bi = b - b_min
+                K[off: off + T, (r * n_b + bi) * P1 + p] = C[p]
+    meta = (L2, M2, int(eps), int(b_min), n_b, U, P1, T, int(n_cap))
+    return meta, K
+
+
+def farrow_ratgrid_apply(meta, K, nphi: int, delta_fx: int, xext, u0, d0,
+                         n_max: int, dt):
+    """Execute the plan on one block. xext = [history, x]; u0/d0 traced."""
+    from .compute import _shift_origin
+
+    L2, M2, eps, b_min, n_b, U, P1, T, _ = meta
+    D = nphi << PHASE_FRAC_BITS
+    JJ = n_max // L2 + 1
+
+    # jj/r/s_r via 2-D iota + a static table — integer division by L2 is
+    # emulated int64 on TPU and measurably slow at vector length.
+    jj = jax.lax.broadcasted_iota(jnp.int64, (JJ, L2), 0).reshape(-1)[:n_max]
+    r = jax.lax.broadcasted_iota(jnp.int64, (JJ, L2), 1).reshape(-1)[:n_max]
+    n = jj * L2 + r
+    u = u0 + n * delta_fx
+    start = u // D                              # D is a power of two: shift
+    psi = 1.0 + (u % D).astype(jnp.float64) * (2.0 ** -PHASE_FRAC_BITS)
+    s_r_tab = jnp.asarray([(rr * delta_fx) // D for rr in range(L2)],
+                          dtype=jnp.int64)
+    s_r_dev = jnp.broadcast_to(s_r_tab, (JJ, L2)).reshape(-1)[:n_max]
+    b_idx = jnp.clip(start - (jj * M2 + s_r_dev) - b_min, 0, n_b - 1)
+
+    # X3[jj, uu] = xq[jj*M2 + uu], xq = xext re-origined at
+    # (d0 - 1) + b_min  (bands in K already include s_r and b - b_min).
+    left = max(0, -b_min)                     # static
+    xq = jnp.pad(xext, [(0, 0)] * (xext.ndim - 1) + [(left, 0)])
+    max_shift = int(delta_fx // D) + 3 + left
+    xq = _shift_origin(xq, d0 + b_min + left, max_shift)
+    k_parts = -(-U // M2)
+    need = (JJ + k_parts - 1) * M2
+    pad = max(0, need - xq.shape[-1])
+    xs = jnp.pad(xq, [(0, 0)] * (xq.ndim - 1) + [(0, pad)])[..., :need]
+    lead = xs.shape[:-1]
+    parts = [
+        xs[..., i * M2: i * M2 + JJ * M2].reshape(*lead, JJ, M2)
+        for i in range(k_parts)
+    ]
+    X3 = jnp.concatenate(parts, axis=-1)[..., :U]
+
+    G = jnp.einsum("...ju,uc->...jc", X3.astype(dt), K.astype(dt))
+    G = G.reshape(*lead, JJ * L2, n_b, P1)[..., :n_max, :, :]
+
+    psi32 = psi.astype(dt)
+    powers = psi32[:, None] ** jnp.arange(P1, dtype=dt)[None, :]
+    sel = jax.nn.one_hot(b_idx, n_b, dtype=dt)
+    return jnp.einsum("...nbp,np,nb->...n", G, powers, sel).astype(dt)

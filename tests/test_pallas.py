@@ -189,3 +189,38 @@ def test_winsel_streaming_and_batch(rng):
     refb = np.asarray(mr.filt(h.astype(np.float32), xb, 0.77, path="windows"))
     yb = np.asarray(mr.filt(h.astype(np.float32), xb, 0.77, path="winsel"))
     np.testing.assert_allclose(yb, refb, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("rate", [0.4709, 1.0 + 1e-9, 1.7, 3.2])
+def test_farrow_ratgrid_matches_windows(rng, rate):
+    """Rational-grid Farrow path (static banded matmul, no gathers)."""
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    x = rng.standard_normal(8000).astype(np.float32)
+    ref = np.asarray(mr.filt(h, x, rate, 32, 4, path="windows"))
+    y = np.asarray(mr.filt(h, x, rate, 32, 4, path="ratgrid"))
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_farrow_ratgrid_streaming_chunked(rng):
+    """Chunked streaming through ratgrid (traced u0/deficit) == whole."""
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float64)
+    x = rng.standard_normal(30000)
+    for rate in (0.87654321, 1.313):
+        ref = np.asarray(mr.filt(h, x, rate, 32, 4, path="windows"))
+        f = mr.FIRFilter(h, rate, nphi=32, polyorder=4, path="ratgrid")
+        got = np.concatenate([np.asarray(f.filt(x[i:i + 7500]))
+                              for i in range(0, 30000, 7500)])
+        assert got.shape == ref.shape, rate
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10)
+
+
+def test_farrow_ratgrid_batched(rng):
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    xb = rng.standard_normal((3, 6000)).astype(np.float32)
+    ref = np.asarray(mr.filt(h, xb, 0.77, 32, 4, path="windows"))
+    y = np.asarray(mr.filt(h, xb, 0.77, 32, 4, path="ratgrid"))
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
