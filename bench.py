@@ -53,46 +53,14 @@ def measure_rtt(jax, jnp):
 def time_chained(jax, jnp, params, state, x, path, rtt, iters=6):
     """Per-iteration seconds of dependency-chained filter runs.
 
-    Times the chain at two trip counts and uses the slope, so the (jittery,
-    ~25-32 ms) relay round-trip and any other fixed dispatch costs cancel
-    exactly instead of being subtracted as a separately-measured estimate.
+    Shared implementation: utils/metrics.chained_seconds_per_call (two trip
+    counts of a fully-serialized chain; the slope cancels the jittery
+    ~25-32 ms relay round-trip and all other fixed dispatch costs).
     """
-    from functools import partial
+    from multirate_tpu.utils.metrics import chained_seconds_per_call
 
-    from jax import lax
-
-    from multirate_tpu.ops.compute import filt_block_raw
-
-    @partial(jax.jit, static_argnames=("reps",))
-    def many(s, xx, reps):
-        def body(i, carry):
-            xx, acc = carry
-            y, _, _ = filt_block_raw(params, s, xx, path)
-            # multiplicative dependency: EVERY input element of iteration
-            # i+1 depends on iteration i's output, so iterations serialize
-            # fully (a scalar-into-one-element dependency would let XLA
-            # overlap tiles across iterations and overstate throughput)
-            xx = xx * (1.0 + y[-1] * 1e-30)
-            return (xx, acc + y[-1])
-        _, acc = lax.fori_loop(0, reps, body, (xx, jnp.zeros((), xx.dtype)))
-        return acc
-
-    def tmin(reps):
-        float(many(state, x, reps))  # compile + warm
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            float(many(state, x, reps))
-            ts.append(time.perf_counter() - t0)
-        return float(np.min(ts))
-
-    r1 = REPEAT
-    t1 = tmin(r1)
-    # pick the second trip count so the extra work dwarfs RTT jitter (~5 ms)
-    per_est = max(t1 / r1, 1e-6)
-    r2 = r1 + max(r1, min(int(0.5 / per_est), 20000))
-    t2 = tmin(r2)
-    return max((t2 - t1) / (r2 - r1), 1e-9)
+    return chained_seconds_per_call(params, state, x, path,
+                                    repeat=REPEAT, iters=iters)
 
 
 def main():

@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import multirate_tpu as mr
-from multirate_tpu.utils.metrics import measure
+from multirate_tpu.utils.metrics import measure_chained
 
 
 def main(n_samples: int = 1_000_000):
@@ -38,10 +38,10 @@ def main(n_samples: int = 1_000_000):
                 params = mr.make_kernel(hh, rate=rate, nphi=nphi,
                                         polyorder=polyord)
                 state = mr.init_state(params, (), x.dtype)
-                run = jax.jit(lambda xx: mr.filt_block(params, state, xx)[0])
-                rep = measure(run, x, in_samples=n_samples,
-                              out_samples=int(n_samples * rate), iters=5,
-                              rate=rate, itemsize=np.dtype(dt).itemsize)
+                # chained-slope methodology: the only valid timing through
+                # the TPU relay (see utils/metrics.py)
+                rep = measure_chained(params, state, x, rate=rate,
+                                      repeat=10, iters=5)
                 print(f"{name:7s} rate={rate:<12.6f} {np.dtype(dt).name:10s} {rep}")
 
 

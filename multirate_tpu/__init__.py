@@ -11,8 +11,10 @@ Multirate.jl (streaming polyphase FIR filtering and sample-rate conversion):
   (reference: /root/reference/src/FIRDesign.jl),
 - naive reference resamplers used as test oracles
   (reference: /root/reference/src/NaiveResamplers.jl),
-- streaming (stateful, chunked) ``filt`` semantics where chunked output is
-  bit-identical to whole-vector output
+- streaming (stateful, chunked) ``filt`` semantics where chunked output
+  equals whole-vector output: every index/phase decision is exactly
+  chunking-invariant (int64 fixed point), so sample alignment is bit-exact;
+  float values match to XLA reduction-order noise (~1 ulp)
   (reference invariant: /root/reference/test/runtests.jl:72-96).
 
 Design stance (NOT a port): the reference's sequential mutable-state loops are

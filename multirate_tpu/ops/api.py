@@ -86,9 +86,10 @@ class FIRFilter:
 
     ``filt(x)`` consumes a chunk and returns exactly the producible output
     samples; leftover phase/history state is carried so that concatenated
-    chunked output equals whole-vector output (bit-exactly for a fixed
-    chunk-size decomposition; the invariant the reference tests at
-    runtests.jl:72-96).
+    chunked output equals whole-vector output — index decisions are exactly
+    chunking-invariant (int64 fixed point, never a sample slip); float
+    values match to XLA reduction-order noise (~1 ulp). This is the
+    invariant the reference tests at runtests.jl:72-96.
     """
 
     def __init__(self, h, ratio_or_rate=Fraction(1, 1), nphi: int = 32,
@@ -110,8 +111,16 @@ class FIRFilter:
         return None if self.state is None else self.state.history
 
     def _ensure_state(self, x):
-        if self.state is None or self.state.history.shape[:-1] != x.shape[:-1]:
+        if self.state is None:
             self.state = init_state(self.params, x.shape[:-1], x.dtype)
+        elif self.state.history.shape[:-1] != x.shape[:-1]:
+            # Silently re-initializing would discard carried phase/deficit/
+            # history (including a prior setphase) — a silent stream
+            # discontinuity. Require an explicit reset.
+            raise ValueError(
+                f"chunk batch shape {x.shape[:-1]} differs from the live "
+                f"stream's {self.state.history.shape[:-1]}; call reset() "
+                f"before starting a stream with a new batch shape")
         elif self.state.history.dtype != x.dtype:
             # Keep phase/deficit (e.g. set via setphase before the first
             # chunk); only the history buffer tracks the signal dtype.
@@ -202,10 +211,15 @@ def tapsforphase(params, phase: float):
     Farrow kernel: polynomial evaluation (Filters.jl:764-775).
     """
     if isinstance(params, FIRArbitrary):
-        if not 0 <= phase <= params.nphi + 1:
-            raise ValueError("phase must be in [0, nphi + 1]")
+        # 1-based bank index: valid phases are [1, nphi + 1] (the right edge
+        # is bank nphi advanced by alpha=1). Anything below 1 would index
+        # bank 0 -> column -1 via wraparound; raise instead.
+        if not 1 <= phase <= params.nphi + 1:
+            raise ValueError("phase must be in [1, nphi + 1]")
         alpha, pidx = math.modf(phase)
         pidx = int(pidx)
+        if pidx == params.nphi + 1:
+            pidx, alpha = params.nphi, 1.0
         return np.asarray(params.pfb[:, pidx - 1]) + alpha * np.asarray(
             params.dpfb[:, pidx - 1])
     if isinstance(params, FIRFarrow):

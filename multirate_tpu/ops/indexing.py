@@ -88,30 +88,68 @@ def rational_carry(L: int, M: int, phi0, d0, xlen):
 # integer arithmetic: acc += Delta with rollover acc = mod(acc-1, nphi) + 1,
 # xIdx += floor((acc-1)/nphi) is, in u = acc-1 coordinates, plain addition
 # with div/mod readout — hence exactly parallelizable.
+#
+# The naive formulations form products like (xlen - d0 + 1) * D, which wrap
+# int64 once xlen >= ~2^63 / D (~67M samples at nphi=32) — silently, and via
+# parallel/sharded.py the GLOBAL stream offset hits the same wall. All
+# products below therefore go through ``_muladd_divmod``: base-2^16 long
+# division that never materializes a*b, exact for any int64 operand.
+
+_LIMB_MASK = (1 << 16) - 1
+# _muladd_divmod needs (den << 16) and (2^16 * b) to fit in int64 headroom.
+ACCUM_OPERAND_BITS = 44
+
+
+def _muladd_divmod(a, b: int, c, den: int):
+    """Exact (q, r) = divmod(a * b + c, den) without ever forming a * b.
+
+    ``a`` and ``c`` may be traced int64 scalars or vectors of either sign;
+    ``b`` and ``den`` are static positive python ints < 2^44. Base-2^16
+    long division over a's limbs: the largest intermediate is
+    (den << 16) + (2^16 - 1) * b < 2^61. The quotient must fit int64
+    (true for every stream quantity: counts and indices are < 2^62).
+    """
+    if not (0 < b < (1 << ACCUM_OPERAND_BITS)
+            and 0 < den < (1 << ACCUM_OPERAND_BITS)):
+        raise ValueError(
+            f"static operands out of range for exact divmod: b={b} den={den}"
+            f" (must be in (0, 2^{ACCUM_OPERAND_BITS}))")
+    a = jnp.asarray(a, _i64)
+    q = (a >> 48) * b // den          # top limb keeps the sign
+    r = (a >> 48) * b - q * den
+    for shift in (32, 16, 0):
+        acc = (r << 16) + ((a >> shift) & _LIMB_MASK) * b
+        q = (q << 16) + acc // den
+        r = acc % den
+    acc = r + c
+    return q + acc // den, acc % den
+
 
 def accum_indices(nphi: int, delta_fx: int, u0, d0, n: int):
     """(in_idx 1-based, phi 0-based, frac in [0,1)) for ``n`` outputs."""
     D = nphi << PHASE_FRAC_BITS
-    u = u0 + jnp.arange(n, dtype=_i64) * delta_fx
-    rem = u % D
+    steps = jnp.arange(n, dtype=_i64)
+    q, rem = _muladd_divmod(steps, delta_fx, u0, D)
     phi = rem >> PHASE_FRAC_BITS
     frac = (rem & (PHASE_ONE - 1)).astype(jnp.float64) * (2.0 ** -PHASE_FRAC_BITS)
-    return d0 + u // D, phi, frac
+    return d0 + q, phi, frac
 
 
 def accum_count(nphi: int, delta_fx: int, u0, d0, xlen):
     """Number of outputs with input index <= xlen (exact, int64)."""
     D = nphi << PHASE_FRAC_BITS
-    c = ((xlen - d0 + 1) * D - 1 - u0) // delta_fx + 1
-    return jnp.maximum(c, 0)
+    # ((xlen - d0 + 1) * D - 1 - u0) // delta_fx + 1, overflow-free
+    q, _ = _muladd_divmod(xlen - d0 + 1, D, -1 - u0, delta_fx)
+    return jnp.maximum(q + 1, 0)
 
 
 def accum_carry(nphi: int, delta_fx: int, u0, d0, xlen):
     """(count, u0', d0') carried into the next block (Filters.jl:734)."""
     D = nphi << PHASE_FRAC_BITS
     count = accum_count(nphi, delta_fx, u0, d0, xlen)
-    u_end = u0 + count * delta_fx
-    return count, u_end % D, d0 + u_end // D - xlen
+    # u_end = u0 + count * delta_fx; carry = (u_end % D, d0 + u_end//D - xlen)
+    q, r = _muladd_divmod(count, delta_fx, u0, D)
+    return count, r, d0 + q - xlen
 
 
 # --------------------------------------------------------------------------- #

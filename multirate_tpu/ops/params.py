@@ -39,9 +39,12 @@ __all__ = [
 
 # Fixed-point scale for the arbitrary/Farrow phase accumulators. 32 fractional
 # bits quantize the inter-phase interpolation factor alpha at 2^-32 ~ 2.3e-10,
-# far inside the 1e-4 RMS accuracy budget, while leaving 31 integer bits of
-# headroom: a single block may produce up to ~2^62 / (nphi * rate) outputs
-# before overflow, far beyond any realistic block.
+# far inside the 1e-4 RMS accuracy budget. Range is NOT limited by int64
+# products: indexing.py routes every accumulator product through exact
+# base-2^16 long division (indexing._muladd_divmod), so counts/indices are
+# exact for any stream length or global offset that itself fits int64. The
+# only static requirement is nphi << FRAC and delta_fx < 2^44 (validated at
+# kernel construction: nphi <= 2048, nphi/rate < 2^12).
 PHASE_FRAC_BITS = 32
 PHASE_ONE = 1 << PHASE_FRAC_BITS
 
@@ -211,10 +214,17 @@ class FIRRational:
 
 def _delta_fx(nphi: int, rate: float) -> int:
     """Phase step nphi/rate in exact int64 fixed point (Filters.jl:113)."""
+    from .indexing import ACCUM_OPERAND_BITS
+
     delta = nphi / rate
     dfx = round(delta * PHASE_ONE)
     if dfx <= 0:
         raise ValueError(f"rate {rate} too large for nphi {nphi}")
+    if (nphi << PHASE_FRAC_BITS) >= (1 << ACCUM_OPERAND_BITS) or \
+            dfx >= (1 << ACCUM_OPERAND_BITS):
+        raise ValueError(
+            f"nphi={nphi}, rate={rate} out of the exact-arithmetic range "
+            f"(need nphi <= 2048 and nphi/rate < 4096)")
     return dfx
 
 

@@ -126,7 +126,9 @@ def shard_filt_block(params, state: FilterState, x, mesh: Mesh,
             hist = jnp.where(k == 0, hist0, halo)
         else:
             hist = x_blk[:, :0]
-        start = k * nblk
+        # axis_index is int32; cast before multiplying so super-blocks past
+        # 2^31 total samples reach the int64 entry-state math un-wrapped
+        start = k.astype(jnp.int64) * nblk
         phi_k, d_k = _entry_state(params, phase0[0], deficit0[0], start)
         st = FilterState(history=hist.astype(x_blk.dtype), phase=phi_k,
                          deficit=d_k)
@@ -163,6 +165,29 @@ def compact(y_blocks, counts):
         [y_blocks[..., k, : int(c)] for k, c in enumerate(counts)], axis=-1)
 
 
+@jax.jit
+def compact_device(y_blocks, counts):
+    """Device-resident ragged compaction: (dense_padded, total).
+
+    dense_padded (..., n_t * n_max) holds each shard's first counts[k]
+    samples packed back-to-back (one scatter, no host transfer); entries
+    past ``total`` are zero. Callers slice with the (static-bounded) total
+    at the stream boundary — one sync for a whole super-block instead of
+    the per-shard device->host->device round trip of ``compact``.
+    """
+    *lead, n_t, n_max = y_blocks.shape
+    counts = counts.astype(jnp.int64)
+    offs = jnp.cumsum(counts) - counts                     # (n_t,)
+    j = jnp.arange(n_max, dtype=jnp.int64)
+    tgt = offs[:, None] + j[None, :]                       # (n_t, n_max)
+    # out-of-range targets drop in scatter mode="drop"
+    tgt = jnp.where(j[None, :] < counts[:, None], tgt, n_t * n_max)
+    flat = y_blocks.reshape(*lead, n_t * n_max)
+    dense = jnp.zeros_like(flat)
+    dense = dense.at[..., tgt.reshape(-1)].set(flat, mode="drop")
+    return dense, jnp.sum(counts)
+
+
 def shard_filt(params, x, mesh: Mesh, path: str = "auto"):
     """Stateless sharded filtering of a whole (C, N) signal.
 
@@ -174,7 +199,7 @@ def shard_filt(params, x, mesh: Mesh, path: str = "auto"):
     return y, counts
 
 
-def _uniform_block(params, n_t: int, nblk: int) -> int | None:
+def _uniform_block(params, nblk: int) -> int | None:
     """Outputs per shard when provably equal for a fresh stream, else None.
 
     For the rational family this holds iff the per-shard block length is a
@@ -210,13 +235,15 @@ def sharded_resample(params, x, mesh: Mesh, path: str = "auto"):
     n_out_true = int(_outputs_before(params, _fresh_phase(params), 1, N))
     xp = jnp.pad(x, ((0, 0), (0, N_pad - N)))
     nblk = N_pad // n_t
-    per_shard = _uniform_block(params, n_t, nblk)
+    per_shard = _uniform_block(params, nblk)
     y, counts = shard_filt(params, xp, mesh, path=path)
     if per_shard is not None:
         dense = y[..., :per_shard].reshape(C, -1)
         return dense[:, :n_out_true]
-    return jnp.asarray(compact(np.asarray(y), np.asarray(counts)))[
-        :, :n_out_true]
+    # ragged counts: pack on device (no host round trip), then one static
+    # slice — n_out_true is host-known closed form, not a device readback
+    dense, _ = compact_device(y, counts)
+    return dense[:, :n_out_true]
 
 
 def _fresh_phase(params) -> int:

@@ -3,12 +3,14 @@
 from .oracle import naivefilt
 from .testing import assert_close, first_divergence, rms
 from .checkpoint import save_state, load_state, state_to_host, state_from_host
-from .metrics import ThroughputReport, measure, hbm_roofline_samples_per_s
+from .metrics import (ThroughputReport, measure, measure_chained,
+                      hbm_roofline_samples_per_s)
 from .debug import interpret_kernels, check_block, check_indices
 
 __all__ = [
     "naivefilt", "assert_close", "first_divergence", "rms",
     "save_state", "load_state", "state_to_host", "state_from_host",
-    "ThroughputReport", "measure", "hbm_roofline_samples_per_s",
+    "ThroughputReport", "measure", "measure_chained",
+    "hbm_roofline_samples_per_s",
     "interpret_kernels", "check_block", "check_indices",
 ]

@@ -4,6 +4,17 @@ Reference counterpart: the examples/Arb-Farrow Speed Comparison.jl harness
 (prints elapsed + input/output samples/s) and the README "Speed" section.
 This module adds the TPU-side model: achieved samples/s against the HBM
 roofline for the streaming FIR workload (SURVEY.md section 5 tracing entry).
+
+Two measurement methods:
+
+- ``measure_chained`` — the ONLY valid method on this TPU (shared with
+  bench.py): R dependency-chained filter iterations inside one jitted
+  lax.fori_loop, timed at two trip counts; the slope cancels every fixed
+  cost (the axon relay's ~25-32 ms jittery sync RTT, dispatch, readback).
+- ``measure`` — plain block_until_ready wall clock for a generic callable.
+  Valid on CPU/GPU; on TPU it REFUSES by default, because
+  jax.block_until_ready does not synchronize through the relay and sub-25 ms
+  wall times are pure noise (CLAUDE.md "Benchmarking").
 """
 
 from __future__ import annotations
@@ -13,7 +24,8 @@ import time
 
 import numpy as np
 
-__all__ = ["ThroughputReport", "measure", "hbm_roofline_samples_per_s",
+__all__ = ["ThroughputReport", "measure", "measure_chained",
+           "chained_seconds_per_call", "hbm_roofline_samples_per_s",
            "KNOWN_HBM_GBPS"]
 
 # Peak HBM bandwidth per chip, GB/s (public figures).
@@ -54,14 +66,108 @@ class ThroughputReport:
         return s
 
 
+def _roofline_fraction(in_sps, rate, itemsize, device):
+    import jax
+
+    device = device or jax.devices()[0]
+    bw = KNOWN_HBM_GBPS.get(device.device_kind,
+                            KNOWN_HBM_GBPS.get(device.platform))
+    if not bw or rate is None:
+        return None
+    return in_sps / hbm_roofline_samples_per_s(rate, itemsize, bw)
+
+
+def chained_seconds_per_call(params, state, x, path: str = "auto",
+                             repeat: int = 50, iters: int = 6,
+                             max_extra: int = 20000) -> float:
+    """Per-call seconds of ``filt_block_raw(params, state, x, path)``.
+
+    Times a fully-serialized dependency chain (every input element of
+    iteration i+1 depends on iteration i's output — a scalar-into-one-element
+    dependency would let XLA overlap tiles across iterations and overstate
+    throughput) at two trip counts; returns the slope, so fixed dispatch /
+    relay-RTT costs cancel exactly.
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops.compute import filt_block_raw
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def many(s, xx, reps):
+        def body(i, carry):
+            xx, acc = carry
+            y, _, _ = filt_block_raw(params, s, xx, path)
+            last = y[..., -1].ravel()[0]
+            xx = xx * (1.0 + last * 1e-30)
+            return (xx, acc + last)
+        _, acc = lax.fori_loop(0, reps, body, (xx, jnp.zeros((), xx.dtype)))
+        return acc
+
+    def tmin(reps):
+        complex(many(state, x, reps))  # compile + warm
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            complex(many(state, x, reps))
+            ts.append(time.perf_counter() - t0)
+        return float(np.min(ts))
+
+    r1 = repeat
+    t1 = tmin(r1)
+    per_est = max(t1 / r1, 1e-6)
+    r2 = r1 + max(r1, min(int(0.5 / per_est), max_extra))
+    t2 = tmin(r2)
+    return max((t2 - t1) / (r2 - r1), 1e-9)
+
+
+def measure_chained(params, state, x, path: str = "auto",
+                    rate: float | None = None, itemsize: int | None = None,
+                    repeat: int = 50, iters: int = 6,
+                    device=None) -> ThroughputReport:
+    """ThroughputReport for one streaming filt_block call on ``x`` using the
+    relay-safe chained-slope methodology (identical numbers to bench.py)."""
+    from ..ops import indexing as idx
+
+    sec = chained_seconds_per_call(params, state, x, path,
+                                   repeat=repeat, iters=iters)
+    n_in = int(np.prod(x.shape))
+    n_blk = x.shape[-1]
+    n_out = int(idx.outputlength(params, n_blk)) * (n_in // n_blk)
+    if rate is None:
+        rate = n_out / max(n_in, 1)
+    itemsize = itemsize or x.dtype.itemsize
+    in_sps = n_in / sec
+    return ThroughputReport(
+        seconds=sec, in_samples=n_in, out_samples=n_out,
+        in_samples_per_s=in_sps, out_samples_per_s=n_out / sec,
+        roofline_fraction=_roofline_fraction(in_sps, rate, itemsize, device))
+
+
 def measure(fn, *args, in_samples: int, out_samples: int,
             iters: int = 20, warmup: int = 3,
             rate: float | None = None, itemsize: int = 4,
-            device=None) -> ThroughputReport:
-    """Median wall time of ``fn(*args)`` with block_until_ready, as a
-    ThroughputReport (the jax.block_until_ready-bracketed harness from
-    SURVEY.md section 5)."""
+            device=None, force_wallclock: bool = False) -> ThroughputReport:
+    """Median block_until_ready wall time of ``fn(*args)``.
+
+    INVALID on this TPU relay (block_until_ready does not synchronize and
+    the sync RTT is ~25-32 ms of jitter): raises unless
+    ``force_wallclock=True``. Use ``measure_chained`` for filter workloads
+    on TPU — it agrees with bench.py by construction.
+    """
     import jax
+
+    dev = device or jax.devices()[0]
+    if dev.platform == "tpu" and not force_wallclock:
+        raise RuntimeError(
+            "measure() times block_until_ready wall clock, which is "
+            "meaningless through the TPU relay (~25-32 ms jittery RTT; "
+            "block_until_ready does not synchronize). Use "
+            "measure_chained(params, state, x) instead, or pass "
+            "force_wallclock=True if you really want wall times.")
 
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
@@ -71,15 +177,8 @@ def measure(fn, *args, in_samples: int, out_samples: int,
         jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
     sec = float(np.median(ts))
-    roof = None
-    if rate is not None:
-        device = device or jax.devices()[0]
-        bw = KNOWN_HBM_GBPS.get(device.device_kind,
-                                KNOWN_HBM_GBPS.get(device.platform))
-        if bw:
-            roof = (in_samples / sec) / hbm_roofline_samples_per_s(
-                rate, itemsize, bw)
     return ThroughputReport(
         seconds=sec, in_samples=in_samples, out_samples=out_samples,
         in_samples_per_s=in_samples / sec, out_samples_per_s=out_samples / sec,
-        roofline_fraction=roof)
+        roofline_fraction=_roofline_fraction(in_samples / sec, rate,
+                                             itemsize, dev))

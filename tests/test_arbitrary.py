@@ -73,6 +73,63 @@ def test_arbitrary_exact_vs_sequential_sim(rng, rate):
                  label=f"arb exact rate={rate}")
 
 
+ARB_DTYPE_CASES = [
+    (np.float32, np.complex64),     # reference-pinned (runtests.jl:393,412)
+    (np.float64, np.complex128),
+    (np.float32, np.float64),
+]
+
+
+@pytest.mark.parametrize("th,tx", ARB_DTYPE_CASES)
+@pytest.mark.parametrize("polyorder", [None, 4])
+def test_arbitrary_farrow_complex_signals(rng, th, tx, polyorder):
+    """Complex signals through the arbitrary/Farrow resamplers (the
+    reference's randomized sweep runs its arb leg on complex64 signals,
+    runtests.jl:393 + 412-419). Exercises the planar re/im routing through
+    the accumulator fast paths, plus the chunked==whole invariant."""
+    nphi = 32
+    h = design_taps(nphi).astype(th)
+    if np.issubdtype(tx, np.complexfloating):
+        x = (rng.standard_normal(300)
+             + 1j * rng.standard_normal(300)).astype(tx)
+        x_or = x.astype(np.complex128)
+    else:
+        x = rng.standard_normal(300).astype(tx)
+        x_or = x.astype(np.float64)
+    rate = 1.2468013579
+    args = (rate, nphi) if polyorder is None else (rate, nphi, polyorder)
+    got = np.asarray(mr.filt(h, x, *args))
+    assert got.dtype == np.promote_types(th, tx)
+    na = naivefilt(h.astype(np.float64), x_or, rate, nphi)
+    n = min(len(got), len(na))
+    assert abs(len(got) - len(na)) <= 2
+    tol = 2e-3 if polyorder is not None else 1e-3
+    scale = float(np.abs(na[:n]).max())
+    assert np.abs(got[:n] - na[:n]).max() < tol * scale
+    # chunked == whole for the complex stream
+    chunks = [37] * 8 + [4]
+    piece = run_chunked(h, rate, x, chunks,
+                        **({} if polyorder is None
+                           else {"polyorder": polyorder}))
+    assert piece.shape == got.shape
+    assert np.abs(piece - got).max() < 1e-5 * scale
+
+
+def test_arbitrary_complex_taps(rng):
+    """Complex taps x real signal through the arbitrary kernel (windows
+    path): output must equal the sum of per-part real filterings."""
+    nphi = 32
+    hr = design_taps(nphi)
+    hi = 0.25 * hr[::-1].copy()
+    h = (hr + 1j * hi).astype(np.complex128)
+    x = rng.standard_normal(200)
+    rate = 0.87
+    got = np.asarray(mr.filt(h, x, rate, nphi))
+    yr = np.asarray(mr.filt(hr, x, rate, nphi))
+    yi = np.asarray(mr.filt(hi, x, rate, nphi))
+    np.testing.assert_allclose(got, yr + 1j * yi, rtol=1e-10, atol=1e-12)
+
+
 def test_arbitrary_chunked_invariant(rng):
     """Chunked == whole: the integer fixed-point accumulator makes every
     index decision exactly chunking-invariant (no sample slips, identical
@@ -139,12 +196,18 @@ def test_farrow_oracle_polynomial_evaluation(rng):
 
 def test_rate_one_identity_phase(rng):
     """rate=1.0 arbitrary resampler: every output lands exactly on phase 0
-    with alpha=0, reproducing the interpolator's phase-1 column."""
+    with alpha=0, so y[n] == dot(pfb[:, 0], window_n) — the bank's first
+    column applied as a plain FIR, with zero derivative-bank contribution."""
     h = design_taps()
     x = rng.standard_normal(64)
     y = np.asarray(mr.filt(h, x, 1.0, 32))
-    p = mr.make_kernel(h, ratio=1)  # n/a for comparison values; just length
     assert len(y) == 64
+    p = mr.make_kernel(h, rate=1.0, nphi=32)
+    col0 = np.asarray(p.pfb, np.float64)[:, 0]
+    T = p.taps_per_phi
+    xext = np.concatenate([np.zeros(T - 1), x])
+    want = np.asarray([col0 @ xext[n: n + T] for n in range(64)])
+    np.testing.assert_allclose(y, want, rtol=1e-10, atol=1e-12)
 
 
 def test_invalid_rate():

@@ -106,18 +106,96 @@ def test_batched_channels(rng):
                 assert_close(y[i, j], yr, rtol=1e-10, label=f"batch {spec}")
 
 
+def test_oracle_vs_scipy_upfirdn(rng):
+    """Independent second implementation of the rational oracle — the
+    analogue of the reference validating its naive path against DSP.firfilt
+    (runtests.jl:59-65). scipy.signal.upfirdn computes the same
+    zero-stuff -> FIR -> downselect pipeline with its own polyphase code."""
+    from scipy.signal import upfirdn
+
+    for L, M in [(1, 1), (4, 1), (1, 5), (3, 2), (147, 160)]:
+        h = rng.standard_normal(48)
+        x = rng.standard_normal(257)
+        ours = naivefilt(h, x, Fraction(L, M))
+        scipy_full = upfirdn(h, x, up=L, down=M)
+        # length conventions differ: upfirdn emits the full convolution
+        # tail (but stops stuffing at the last sample), ours is causal-
+        # truncated to outputlength; all common outputs must match exactly
+        n = min(len(ours), len(scipy_full))
+        assert abs(len(ours) - len(scipy_full)) <= (len(h) + L) // M + 1
+        np.testing.assert_allclose(ours[:n], scipy_full[:n],
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_kernels_vs_scipy_upfirdn(rng):
+    """The fast kernels directly against scipy's polyphase resampler."""
+    from scipy.signal import upfirdn
+
+    for L, M in [(1, 1), (3, 1), (1, 4), (7, 5)]:
+        h = rng.standard_normal(33)
+        x = rng.standard_normal(240)
+        got = np.asarray(mr.filt(h, x, Fraction(L, M)))
+        want = upfirdn(h, x, up=L, down=M)
+        n = min(len(got), len(want))
+        assert abs(len(got) - len(want)) <= (len(h) + L) // M + 1
+        assert_close(got[:n], want[:n], rtol=1e-9, atol=1e-11,
+                     label=f"upfirdn {L}//{M}")
+
+
 def test_sweep_random(rng):
     """Scaled-down analogue of the reference's randomized test_all
-    (runtests.jl:389-421)."""
-    for L in [1, 2, int(rng.integers(3, 17))]:
-        for M in [1, 3, int(rng.integers(4, 17))]:
+    (runtests.jl:387-419): interp/decim from {1} + rand(2:32), the full
+    Th x Tx dtype matrix (F32/F64 taps; F32/F64/C64/C128 signals), and the
+    arbitrary-rate leg (rate = float(ratio) + rand) on F32/C64 signals."""
+    taps_dtypes = [np.float32, np.float64]
+    sig_dtypes = [np.float32, np.float64, np.complex64, np.complex128]
+    interps = [1] + sorted(rng.choice(np.arange(2, 33), 3, replace=False))
+    decims = [1] + sorted(rng.choice(np.arange(2, 33), 3, replace=False))
+    case = 0
+    for L in map(int, interps):
+        for M in map(int, decims):
+            th = taps_dtypes[case % 2]
+            tx = sig_dtypes[case // 2 % 4]
+            case += 1
             r = Fraction(L, M)
             hlen = int(rng.integers(16, 129))
             xlen = int(rng.integers(200, 301))
             xlen -= xlen % M
-            h = rng.standard_normal(hlen).astype(np.float32)
-            x = rng.standard_normal(xlen).astype(np.float32)
-            oracle = naivefilt(h.astype(np.float64), x.astype(np.float64), r)
+            h = rng.standard_normal(hlen).astype(th)
+            if np.issubdtype(tx, np.complexfloating):
+                x = (rng.standard_normal(xlen)
+                     + 1j * rng.standard_normal(xlen)).astype(tx)
+            else:
+                x = rng.standard_normal(xlen).astype(tx)
+            oracle = naivefilt(h.astype(np.float64),
+                               x.astype(np.complex128 if
+                                        np.issubdtype(tx, np.complexfloating)
+                                        else np.float64), r)
             got = np.asarray(mr.filt(h, x, r))
-            assert_close(got, oracle.astype(np.float32), rtol=3e-3,
-                         atol=1e-4, label=f"sweep {L}//{M}")
+            out_dt = np.promote_types(th, tx)
+            lo_prec = out_dt.itemsize <= (8 if np.issubdtype(
+                out_dt, np.complexfloating) else 4)
+            assert_close(got, oracle.astype(out_dt),
+                         rtol=3e-3 if lo_prec else 1e-9,
+                         atol=1e-4 if lo_prec else 1e-10,
+                         label=f"sweep {L}//{M} {th.__name__}/{tx.__name__}")
+            # reference's arbitrary leg (runtests.jl:412-417): its
+            # test_arbitrary designs its OWN smooth Kaiser taps
+            # (runtests.jl:330-341) — only the (possibly complex) signal
+            # comes from the sweep
+            if L == r.numerator and M == r.denominator and L != 1 and M != 1 \
+                    and tx in (np.float32, np.complex64):
+                from test_arbitrary import design_taps
+
+                ha = design_taps(32).astype(th)
+                rate = float(r) + float(rng.random())
+                ya = np.asarray(mr.filt(ha, x, rate, 32))
+                na = naivefilt(ha.astype(np.float64),
+                               x.astype(np.complex128 if tx == np.complex64
+                                        else np.float64), rate, 32)
+                n = min(len(ya), len(na))
+                assert abs(len(ya) - len(na)) <= 2
+                err = np.abs(ya[:n] - na[:n].astype(out_dt))
+                scale = max(1.0, float(np.abs(na[:n]).max()))
+                assert err.max() < 5e-3 * scale, \
+                    f"arb leg {L}//{M}+r {tx.__name__}: {err.max()}"

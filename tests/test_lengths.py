@@ -102,6 +102,42 @@ def test_accum_indices_match_loop(rate):
                     assert float(frac[n]) == (su % D1) / D1
 
 
+@pytest.mark.parametrize("rate", [0.4709, 0.99999, 1.0, 3.99])
+def test_accum_math_exact_beyond_int64_products(rate):
+    """Regression for the int64 wrap at xlen >= ~2^63/D (~67M at nphi=32):
+    (xlen+1)*D overflowed and silently returned count=0. The long-division
+    formulation must match Python-bigint ground truth for any stream length
+    or global offset (parallel/sharded.py feeds GLOBAL offsets here)."""
+    nphi = 32
+    k = mr.FIRArbitrary.create(np.ones(64), rate, nphi)
+    delta, D = k.delta_fx, nphi << mr.PHASE_FRAC_BITS
+    for xlen in (70_000_000, 2**31, 10**12, 10**15, 3):
+        for u0 in (0, D - 1, 987654321):
+            for d0 in (1, 2, -5):
+                A = xlen - d0 + 1
+                want_cnt = max(0, (A * D - 1 - u0) // delta + 1)  # bigint
+                cnt, u1, d1 = idx.accum_carry(nphi, delta, u0, d0, xlen)
+                assert int(cnt) == want_cnt
+                u_end = u0 + want_cnt * delta
+                assert int(u1) == u_end % D
+                assert int(d1) == d0 + u_end // D - xlen
+
+
+def test_muladd_divmod_matches_bigints():
+    rng = np.random.default_rng(7)
+    for b, den in [(137438953471, 8796093022208 - 3), (1, 1),
+                   (2**43, 2**43 + 9), (12345, 678)]:
+        a_vals = np.concatenate([
+            rng.integers(-2**62 // b, 2**62 // b, 16),
+            np.asarray([0, 1, -1, 2**40, -(2**40)])])
+        c_vals = [0, -1, den - 1, -(den - 1)]
+        for c in c_vals:
+            q, r = idx._muladd_divmod(np.asarray(a_vals, np.int64), b, c, den)
+            for av, qv, rv in zip(a_vals, np.asarray(q), np.asarray(r)):
+                want_q, want_r = divmod(int(av) * b + c, den)
+                assert (int(qv), int(rv)) == (want_q, want_r), (av, b, c, den)
+
+
 def test_outputlength_inputlength_roundtrip():
     rng = np.random.default_rng(0)
     h = rng.standard_normal(64)

@@ -84,8 +84,6 @@ def test_sharded_farrow_64ch(rng):
     x = rng.standard_normal((64, 800)).astype(np.float32)
     p = mr.make_kernel(h.astype(np.float32), rate=0.9173, nphi=32, polyorder=4)
     y = np.asarray(sharded_resample(p, x, mesh))
-    ref = _whole_ref(h.astype(np.float32), x, (0.9173, 32, 4)) \
-        if False else None
     # reference via per-channel farrow filt
     rows = [np.asarray(mr.filt(h.astype(np.float32), x[c], 0.9173, 32, 4))
             for c in range(64)]

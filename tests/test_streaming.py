@@ -103,12 +103,25 @@ def test_setphase_arbitrary_delay(rng):
 
 
 def test_setphase_farrow(rng):
+    """Farrow setphase(phi) advances the output grid by phi*(nphi-1)/nphi
+    input samples (u = phi*(nphi-1)*ONE, api.setphase / Filters.jl:224-229):
+    verified as an actual sub-sample delay on a sine, like the arb test."""
     from test_arbitrary import design_taps
-    h = design_taps(32)
-    f = mr.FIRFilter(h, 1.0, nphi=32, polyorder=4)
-    f.setphase(0.25)
-    y = np.asarray(f.filt(np.ones(100)))
-    assert y.shape[-1] == 100
+    nphi = 32
+    h = design_taps(nphi)
+    t = np.arange(1000)
+    x = np.sin(2 * np.pi * 0.01 * t)
+    delay = len(h) / (2 * nphi) - 1 / nphi
+    for phi in (0.0, 0.25, 0.5):
+        f = mr.FIRFilter(h, 1.0, nphi=nphi, polyorder=4)
+        f.setphase(phi)
+        y = np.asarray(f.filt(x))
+        expect = np.sin(
+            2 * np.pi * 0.01 * (t - delay + phi * (nphi - 1) / nphi))
+        # 1.2e-3 bound: ~9.9e-4 polyorder-4 fit error headroom, but tight
+        # enough that the wrong phase convention (e.g. a full phi-sample
+        # shift, 2e-3 at phi=0.5) fails
+        assert np.abs(y[100:500] - expect[100:500]).max() < 1.2e-3, phi
 
 
 def test_setphase_rational(rng):
