@@ -5,19 +5,21 @@ Prints ONE JSON line on stdout:
 vs_baseline is against the reference's derived 17.6 Msamples/s
 (BASELINE.md: 1e6 samples / 0.0569 s, single-core 2014 x86).
 
+Also writes BENCH_SIDECAR.json with machine-readable per-config numbers
+for every BASELINE.md target config (standard, decim 1//4, interp 4//1,
+rational, arbitrary, Farrow, 64-channel batched Farrow), each with an
+ACCURACY line — RMS against a float64 host oracle — because TPU matmul
+precision bugs are invisible to CPU tests (see ops/precision.py), plus the
+virtual-mesh scaling overhead curve (subprocess on 8 CPU devices).
+
 Timing methodology (critical on the axon TPU relay, where
 jax.block_until_ready does not reliably synchronize and sync+readback has a
-~25 ms RTT floor): R iterations of the filter run inside one jitted
-lax.fori_loop with a REAL data dependency between iterations (a scalar of
-each output is folded back into the next input), completion is forced by a
-host readback, and the RTT floor is measured separately and subtracted.
-
-Extra diagnostics (per-path throughput, roofline fraction, chunked-vs-whole
-RMS) go to stderr only.
+~25 ms RTT floor): chained-slope — see utils/metrics.chained_seconds_per_call.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 from fractions import Fraction
@@ -26,8 +28,7 @@ import numpy as np
 
 BASELINE_MSPS = 1e6 / 0.0569 / 1e6  # reference Msamples/s (~17.57)
 
-# v5e (TPU v5 lite): ~819 GB/s HBM. The resample reads 4 B and writes
-# 4*147/160 B per input sample => light-speed input rate = BW / 7.675 B.
+# v5e (TPU v5 lite): ~819 GB/s HBM. light-speed input rate = BW/(4*(1+rate)).
 HBM_GBPS = 819.0
 REPEAT = 50
 
@@ -36,31 +37,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_rtt(jax, jnp):
-    import jax as _j
-
-    f0 = _j.jit(lambda v: (v + 1.0).sum())
-    x = jnp.ones(8, jnp.float32)
-    float(f0(x))
-    ts = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        float(f0(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+def roofline_msps(rate):
+    return HBM_GBPS * 1e9 / (4.0 * (1.0 + rate)) / 1e6
 
 
-def time_chained(jax, jnp, params, state, x, path, rtt, iters=6):
-    """Per-iteration seconds of dependency-chained filter runs.
+def accuracy_rms(mr, params, h, spec, x_np, y_dev, n_check=200_000):
+    """Relative RMS of the device output vs a float64 host oracle."""
+    from multirate_tpu.ops import indexing as idx
 
-    Shared implementation: utils/metrics.chained_seconds_per_call (two trip
-    counts of a fully-serialized chain; the slope cancels the jittery
-    ~25-32 ms relay round-trip and all other fixed dispatch costs).
-    """
-    from multirate_tpu.utils.metrics import chained_seconds_per_call
+    x64 = x_np[:n_check].astype(np.float64)
+    h64 = np.asarray(h, np.float64)
+    if isinstance(spec, Fraction):
+        from scipy.signal import upfirdn
 
-    return chained_seconds_per_call(params, state, x, path,
-                                    repeat=REPEAT, iters=iters)
+        ref = upfirdn(h64, x64, up=spec.numerator, down=spec.denominator)
+    else:
+        from multirate_tpu.utils.oracle import naivefilt
+
+        ref = naivefilt(h64, x64, float(spec), params.nphi)
+    got = np.asarray(y_dev, np.float64)
+    n_exp = int(idx.outputlength(params, n_check))
+    n = min(len(ref), len(got), n_exp)
+    num = np.sqrt(np.mean((got[:n] - ref[:n]) ** 2))
+    den = max(np.sqrt(np.mean(ref[:n] ** 2)), 1e-30)
+    return float(num / den)
 
 
 def main():
@@ -68,6 +68,7 @@ def main():
     import jax.numpy as jnp
 
     import multirate_tpu as mr
+    from multirate_tpu.utils.metrics import chained_seconds_per_call
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -78,50 +79,53 @@ def main():
     h = (mr.firdes(24 * 147, 0.5 / 147, mr.kaiser, beta=7.8562) * 147
          ).astype(np.float32)
     params = mr.make_kernel(h, ratio=ratio)
-    x = jax.random.normal(jax.random.key(0), (N,), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal(N).astype(np.float32)
+    x = jnp.asarray(x_np)
     state0 = mr.init_state(params, (), jnp.float32)
 
-    rtt = measure_rtt(jax, jnp) if on_tpu else 0.0
-    log(f"sync RTT floor: {rtt*1e3:.2f} ms (subtracted)")
+    sidecar = {"device": dev.device_kind, "configs": []}
 
-    results = {}
+    def bench_config(name, p, spec, hh, xx, paths, iters=4):
+        st = mr.init_state(p, xx.shape[:-1], jnp.float32)
+        best, best_path = 0.0, None
+        for path in paths:
+            sec = chained_seconds_per_call(p, st, xx, path,
+                                           repeat=REPEAT, iters=iters)
+            msps = xx.size / sec / 1e6
+            log(f"  [{name} / {path}]: {sec*1e3:.3f} ms -> {msps:.0f} Msps")
+            if msps > best:
+                best, best_path = msps, path
+        rate = (float(spec) if not isinstance(spec, Fraction)
+                else spec.numerator / spec.denominator)
+        y_check, cnt, _ = mr.filt_block(p, mr.init_state(p, (), jnp.float32),
+                                        jnp.asarray(x_np[:200_000]),
+                                        path=best_path)
+        rms = accuracy_rms(mr, p, hh, spec, x_np,
+                           np.asarray(y_check)[: int(cnt)])
+        roof = roofline_msps(rate)
+        entry = {
+            "name": name, "path": best_path,
+            "msps_in": round(best, 1),
+            "msps_out": round(best * rate, 1),
+            "roofline_pct": round(100 * best / roof, 1),
+            "oracle_rel_rms": rms,
+        }
+        log(f"  [{name}] best={best:.0f} Msps ({entry['roofline_pct']}% "
+            f"roofline) oracle-rms={rms:.2e}")
+        sidecar["configs"].append(entry)
+        return entry
+
+    # ---- headline: rational 147//160 --------------------------------- #
     paths = ("supercycle", "pallas") if on_tpu else ("supercycle",)
-    for path in paths:
-        sec = time_chained(jax, jnp, params, state0, x, path, rtt)
-        results[path] = N / sec / 1e6
-        log(f"rational 147//160 1M f32 [{path}]: {sec*1e3:.3f} ms "
-            f"-> {results[path]:.1f} Msamples/s")
-
-    msps = max(results.values())
-    roofline_msps = HBM_GBPS * 1e9 / (4 + 4 * 147 / 160) / 1e6
-    log(f"HBM roofline ~{roofline_msps:.0f} Msamples/s; "
-        f"achieved {100 * msps / roofline_msps:.1f}%")
-
-    # Optional: the full BASELINE.json config sweep (stderr only).
-    if os.environ.get("BENCH_ALL"):
-        h147 = np.asarray(
-            mr.firdes(147, 0.2, mr.kaiser, beta=7.0), dtype=np.float32)
-        ha = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
-              ).astype(np.float32)
-        sweep = [
-            ("standard 147taps", mr.make_kernel(h147, ratio=Fraction(1, 1))),
-            ("decim 1//4", mr.make_kernel(h147, ratio=Fraction(1, 4))),
-            ("interp 4//1", mr.make_kernel(h147, ratio=Fraction(4, 1))),
-            ("arbitrary r=0.4709", mr.make_kernel(ha, rate=0.4709, nphi=32)),
-            ("farrow r=0.4709", mr.make_kernel(ha, rate=0.4709, nphi=32,
-                                               polyorder=4)),
-        ]
-        for name, p in sweep:
-            st = mr.init_state(p, (), jnp.float32)
-            sec = time_chained(jax, jnp, p, st, x, "auto", rtt, iters=3)
-            log(f"config [{name}]: {sec*1e3:.3f} ms/1M "
-                f"-> {N/sec/1e6:.0f} Msamples/s in")
+    head = bench_config("rational_147_160", params, ratio, h, x, paths,
+                        iters=6)
+    msps = head["msps_in"]
 
     # chunked-vs-whole RMS (the correctness metric in BASELINE.json)
     whole = np.asarray(mr.filt_block(params, state0, x)[0])
     f = mr.FIRFilter(h, ratio)
-    xh = np.asarray(x)
-    parts = [np.asarray(f.filt(xh[i:i + 250_000])) for i in
+    parts = [np.asarray(f.filt(x_np[i:i + 250_000])) for i in
              range(0, N, 250_000)]
     chunked = np.concatenate(parts)
     n = min(len(chunked), len(whole))
@@ -129,12 +133,66 @@ def main():
         (chunked[:n].astype(np.float64) - whole[:n].astype(np.float64)) ** 2)))
     log(f"chunked-vs-whole RMS: {rms:.3e} over {n} samples")
 
+    # ---- full BASELINE config sweep ---------------------------------- #
+    if os.environ.get("BENCH_HEADLINE_ONLY") is None:
+        h147 = np.asarray(
+            mr.firdes(147, 0.2, mr.kaiser, beta=7.0), dtype=np.float32)
+        ha = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+              ).astype(np.float32)
+        fast = ("pallas",) if on_tpu else ("supercycle",)
+        arbp = ("winsel", "phaseall") if on_tpu else ("winsel",)
+        bench_config("standard_147taps",
+                     mr.make_kernel(h147, ratio=Fraction(1, 1)),
+                     Fraction(1, 1), h147, x, fast)
+        bench_config("decim_1_4", mr.make_kernel(h147, ratio=Fraction(1, 4)),
+                     Fraction(1, 4), h147, x, fast)
+        bench_config("interp_4_1", mr.make_kernel(h147, ratio=Fraction(4, 1)),
+                     Fraction(4, 1), h147, x, fast)
+        bench_config("arbitrary_0.4709",
+                     mr.make_kernel(ha, rate=0.4709, nphi=32),
+                     0.4709, ha, x, arbp)
+        bench_config("farrow_0.4709",
+                     mr.make_kernel(ha, rate=0.4709, nphi=32, polyorder=4),
+                     0.4709, ha, x, arbp)
+        # 64-channel batched Farrow (single-chip stand-in for the sharded
+        # config; the sharding overhead curve comes from the CPU mesh below)
+        x64 = jnp.asarray(rng.standard_normal((64, N // 64))
+                          .astype(np.float32))
+        bench_config("farrow_64ch_batched",
+                     mr.make_kernel(ha, rate=0.9173, nphi=32, polyorder=4),
+                     0.9173, ha, x64, arbp, iters=3)
+
+        # scaling overhead structure on the virtual CPU mesh (subprocess:
+        # the axon plugin owns this process's backend)
+        try:
+            env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                       JAX_PLATFORMS="cpu",
+                       XLA_FLAGS="--xla_force_host_platform_device_count=8")
+            out = subprocess.run(
+                [sys.executable, "-m", "multirate_tpu.parallel.scaling_bench"],
+                capture_output=True, text=True, timeout=900, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            sidecar["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
+            log("scaling:", sidecar["scaling"])
+        except Exception as e:  # noqa: BLE001
+            log("scaling bench failed:", e)
+            sidecar["scaling"] = {"error": str(e)}
+
+    sidecar["chunked_vs_whole_rms"] = rms
+    side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_SIDECAR.json")
+    with open(side_path, "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+    log(f"sidecar written: {side_path}")
+
     print(json.dumps({
         "metric": "rational_147_160_1M_f32_throughput",
         "value": round(msps, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / BASELINE_MSPS, 1),
         "chunked_vs_whole_rms": rms,
+        "oracle_rel_rms": head["oracle_rel_rms"],
+        "roofline_pct": head["roofline_pct"],
     }))
 
 

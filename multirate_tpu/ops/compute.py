@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import indexing as idx
+from . import precision as prec
 from .params import (
     FIRStandard, FIRInterpolator, FIRDecimator, FIRRational,
     FIRArbitrary, FIRFarrow, FilterState,
@@ -83,7 +84,7 @@ def _gather_windows(xext, starts0, taps_per_phi: int, slices: bool = False):
 
 def _row_contract(W, taps):
     """y[..., n] = sum_t W[..., n, t] * taps[n, t]."""
-    return jnp.einsum("...nt,nt->...n", W, taps)
+    return jnp.einsum("...nt,nt->...n", W, taps, precision=prec.TAP)
 
 
 def _corr1d(x, kernels, stride: int = 1):
@@ -103,7 +104,7 @@ def _corr1d(x, kernels, stride: int = 1):
     out = lax.conv_general_dilated(
         lhs, rhs, window_strides=(stride,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=lhs.dtype,
+        preferred_element_type=lhs.dtype, precision=prec.TAP,
     )                                               # (B, C, outW)
     out = jnp.moveaxis(out, 1, -1).reshape(*lead, out.shape[-1], C)
     return out[..., 0] if single else out
@@ -182,7 +183,8 @@ def _supercycle_xla(xext, K, L_eff: int, M_eff: int, n_max: int):
         for i in range(k_parts)
     ]
     X3 = jnp.concatenate(parts, axis=-1)[..., :U]
-    Y = jnp.einsum("...ju,ul->...jl", X3, K.astype(X3.dtype))
+    Y = jnp.einsum("...ju,ul->...jl", X3, K.astype(X3.dtype),
+                   precision=prec.TAP)
     return Y.reshape(*lead, J * L_eff)[..., :n_max]
 
 
@@ -200,8 +202,87 @@ def _supercycle_pallas(xext, K, L_eff: int, M_eff: int, n_max: int):
     return jax.vmap(run)(flat).reshape(*lead, n_max)
 
 
+def _grouped_k(params, phi0, d0, dt):
+    """K for the grouped kernel: entry phase folded in, deficit NOT (the
+    grouped kernel's static part ranges carry only +1 phi0 slack; the
+    deficit is applied as a data-origin shift instead)."""
+    anchor = ((phi0 + d0) * 0).astype(dt)
+    return lax.cond(
+        phi0 == 1,
+        lambda: params.k_super.astype(dt) + anchor,
+        lambda: _build_k_in_graph(params, phi0, jnp.asarray(1, jnp.int64),
+                                  dt),
+    )
+
+
+def _run_grouped(params, xext, d0, n_max, K, groups):
+    """Deficit-shift the data, then run the grouped kernel (vmapped over
+    leading channel dims)."""
+    from .pallas.rational2 import rational_supercycle_grouped
+
+    _, L, M, g = _band_geometry(params)
+    xs = lax.cond(
+        d0 == 1,
+        lambda: xext,
+        lambda: _shift_origin(xext, d0, M + 2),
+    )
+    interp = jax.default_backend() != "tpu"
+    run = lambda xv: rational_supercycle_grouped(  # noqa: E731
+        xv, K, g * L, g * M, n_max, groups, interpret=interp)
+    if xs.ndim == 1:
+        return run(xs)
+    lead = xs.shape[:-1]
+    return jax.vmap(run)(xs.reshape(-1, xs.shape[-1])).reshape(*lead, n_max)
+
+
+def _rational_groups(params):
+    """Static grouped-band plan for a rational kernel, or None."""
+    from .pallas.rational2 import band_groups
+
+    if not isinstance(params, FIRRational):
+        return None
+    return band_groups(params.taps_per_phi, params.interpolation,
+                       params.decimation, params.sc_group)
+
+
 def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):
     _, L, M, g = _band_geometry(params)
+    grouped = _rational_groups(params) if path == "pallas" else None
+
+    if jnp.issubdtype(dt, jnp.complexfloating):
+        # Complex taps (and possibly complex signal): planar decomposition
+        # into 2-4 REAL supercycle applies — the MXU path instead of the
+        # slow windows gather (reference complex support: runtests.jl:393).
+        rt = jnp.float32 if dt == jnp.complex64 else jnp.float64
+        x_cx = jnp.issubdtype(xext.dtype, jnp.complexfloating)
+        xr = xext.real.astype(rt)
+        xi = xext.imag.astype(rt) if x_cx else None
+        t = params.taps_rev if hasattr(params, "taps_rev") else params.pfb
+        if grouped is not None:
+            Kc = _grouped_k(params, phi0, d0, dt)
+            one_apply = lambda xv, Kv: _run_grouped(  # noqa: E731
+                params, xv, d0, n_max, Kv, grouped)
+        else:
+            Kc = _select_k(params, phi0, d0, dt)
+            app = _supercycle_pallas if path == "pallas" else _supercycle_xla
+            one_apply = lambda xv, Kv: app(  # noqa: E731
+                xv, Kv, g * L, g * M, n_max)
+        if jnp.issubdtype(t.dtype, jnp.complexfloating):
+            Kr, Ki = Kc.real.astype(rt), Kc.imag.astype(rt)
+            yr = one_apply(xr, Kr)
+            yi = one_apply(xr, Ki)
+            if x_cx:
+                yr = yr - one_apply(xi, Ki)
+                yi = yi + one_apply(xi, Kr)
+        else:
+            Kr = Kc.real.astype(rt)
+            yr = one_apply(xr, Kr)
+            yi = one_apply(xi, Kr) if x_cx else jnp.zeros_like(yr)
+        return jax.lax.complex(yr, yi).astype(dt)
+
+    if grouped is not None:
+        K = _grouped_k(params, phi0, d0, dt)
+        return _run_grouped(params, xext.astype(dt), d0, n_max, K, grouped)
     K = _select_k(params, phi0, d0, dt)
     apply_ = _supercycle_pallas if path == "pallas" else _supercycle_xla
     return apply_(xext.astype(dt), K, g * L, g * M, n_max)
@@ -225,7 +306,8 @@ def _standard(params: FIRStandard, state, x, path):
     else:
         starts = jnp.arange(x.shape[-1], dtype=jnp.int64)
         W = _gather_windows(xext, starts, params.hlen)
-        y = jnp.einsum("...nt,t->...n", W, params.taps_rev).astype(dt)
+        y = jnp.einsum("...nt,t->...n", W, params.taps_rev,
+                       precision=prec.TAP).astype(dt)
     new_state = FilterState(history=_new_history(xext, params.history_len),
                             phase=state.phase, deficit=state.deficit)
     return y, jnp.asarray(x.shape[-1], jnp.int64), new_state
@@ -245,7 +327,8 @@ def _interpolator(params: FIRInterpolator, state, x, path):
     else:
         starts = jnp.arange(x.shape[-1], dtype=jnp.int64)
         W = _gather_windows(xext, starts, T)
-        Y = jnp.einsum("...nt,tp->...np", W, params.pfb).astype(dt)
+        Y = jnp.einsum("...nt,tp->...np", W, params.pfb,
+                       precision=prec.TAP).astype(dt)
         y = Y.reshape(*Y.shape[:-2], n_out)
     new_state = FilterState(history=_new_history(xext, params.history_len),
                             phase=state.phase, deficit=state.deficit)
@@ -269,7 +352,8 @@ def _decimator(params: FIRDecimator, state, x, path):
     else:
         inp, _ = idx.rational_indices(1, M, 1, state.deficit, n_max)
         W = _gather_windows(xext, inp - 1, T)
-        y = jnp.einsum("...nt,t->...n", W, params.taps_rev).astype(dt)
+        y = jnp.einsum("...nt,t->...n", W, params.taps_rev,
+                       precision=prec.TAP).astype(dt)
     new_state = FilterState(history=_new_history(xext, params.history_len),
                             phase=state.phase, deficit=d0_next)
     return y, count, new_state
@@ -380,16 +464,18 @@ def _farrow_phaseall(params: FIRFarrow, xext, u0, d0, n_max, dt, path):
         return out.reshape(*lead, -1).astype(dt)
     q = qrows[:, None] + jnp.arange(P1, dtype=jnp.int64)[None, :]
     Fg = jnp.take(F, q, axis=-1, mode="clip")      # (..., n_max, P1)
-    return jnp.einsum("...np,np->...n", Fg, powers.astype(dt)).astype(dt)
+    return jnp.einsum("...np,np->...n", Fg, powers.astype(dt),
+                      precision=prec.TAP).astype(dt)
 
 
 def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
     """Fully fused arbitrary resample: closed-form (window start, phase,
     alpha) vectors feed one Pallas kernel that builds per-output taps from
     the tiny banks in VMEM and reads windows straight from x — no
-    interpolated stream, no window matrix, nothing intermediate in HBM."""
-    from .pallas.select import window_select_pallas
+    interpolated stream, no window matrix, nothing intermediate in HBM.
 
+    v2 kernel (pallas/select2.py: one-hot row select + native lane gather)
+    when taps_per_phi <= 64; the v1 lane-roll kernel otherwise."""
     from .params import PHASE_FRAC_BITS
 
     inp, phi, frac = idx.accum_indices(
@@ -398,10 +484,20 @@ def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
     D = params.nphi << PHASE_FRAC_BITS
     max_step = int(params.delta_fx // D) + 1
     interp = jax.default_backend() != "tpu"
-    run = lambda xv: window_select_pallas(  # noqa: E731
-        xv.astype(dt), starts, phi, frac.astype(dt),
-        params.pfb.astype(dt), params.dpfb.astype(dt), max_step,
-        interpret=interp)
+    if params.taps_per_phi <= 64:
+        from .pallas.select2 import window_resample_pallas
+
+        run = lambda xv: window_resample_pallas(  # noqa: E731
+            xv.astype(dt), starts, phi, frac.astype(dt),
+            params.pfb.astype(dt), params.dpfb.astype(dt), max_step,
+            interpret=interp)
+    else:
+        from .pallas.select import window_select_pallas
+
+        run = lambda xv: window_select_pallas(  # noqa: E731
+            xv.astype(dt), starts, phi, frac.astype(dt),
+            params.pfb.astype(dt), params.dpfb.astype(dt), max_step,
+            interpret=interp)
     if xext.ndim == 1:
         return run(xext)
     lead = xext.shape[:-1]
@@ -410,8 +506,6 @@ def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
 
 
 def _farrow_winsel(params: FIRFarrow, xext, u0, d0, n_max, dt):
-    from .pallas.select import window_select_farrow_pallas
-
     from .params import PHASE_FRAC_BITS
 
     inp, phi, frac = idx.accum_indices(
@@ -423,9 +517,18 @@ def _farrow_winsel(params: FIRFarrow, xext, u0, d0, n_max, dt):
     D = params.nphi << PHASE_FRAC_BITS
     max_step = int(params.delta_fx // D) + 1
     interp = jax.default_backend() != "tpu"
-    run = lambda xv: window_select_farrow_pallas(  # noqa: E731
-        xv.astype(dt), starts, powers.astype(dt),
-        params.coeffs.astype(dt), max_step, interpret=interp)
+    if params.taps_per_phi <= 128:
+        from .pallas.select2 import window_resample_farrow_pallas
+
+        run = lambda xv: window_resample_farrow_pallas(  # noqa: E731
+            xv.astype(dt), starts, powers.astype(dt),
+            params.coeffs.astype(dt), max_step, interpret=interp)
+    else:
+        from .pallas.select import window_select_farrow_pallas
+
+        run = lambda xv: window_select_farrow_pallas(  # noqa: E731
+            xv.astype(dt), starts, powers.astype(dt),
+            params.coeffs.astype(dt), max_step, interpret=interp)
     if xext.ndim == 1:
         return run(xext)
     lead = xext.shape[:-1]
@@ -521,11 +624,10 @@ def _auto_path(params, x):
     on_tpu = jax.default_backend() == "tpu"
     if isinstance(params, (FIRStandard, FIRInterpolator, FIRDecimator)):
         if cx_taps:
-            return "windows"
+            # planar re/im decomposition through the supercycle MXU path
+            return "pallas" if on_tpu else "supercycle"
         return "pallas" if on_tpu else "conv"
     if isinstance(params, FIRRational):
-        if cx_taps:
-            return "windows" if on_tpu else "supercycle"
         return "pallas" if on_tpu else "supercycle"
     if isinstance(params, FIRFarrow) and not cx_taps:
         if (params.ratgrid_meta is not None

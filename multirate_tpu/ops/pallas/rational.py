@@ -79,7 +79,8 @@ def _kernel(x_a, x_b, k_ref, o_ref, *, JT: int, M: int, U: int, L: int):
         width = min(M, U - u)
         acc = acc + jnp.dot(xcat[i: i + JT, :width],
                             k_ref[u: u + width, :],
-                            preferred_element_type=acc.dtype)
+                            preferred_element_type=acc.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
         u += width
         i += 1
     o_ref[:] = acc

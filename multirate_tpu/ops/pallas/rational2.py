@@ -1,0 +1,134 @@
+"""Grouped-band Pallas TPU kernel for the rational supercycle matmul (v2).
+
+The v1 kernel (rational.py) contracts the full dense (U, gL) banded tap
+matrix: every output column multiplies all U rows although its band is only
+T wide (density T/U ~ 5% for the 147//160 headline) — it is MXU-compute
+bound at ~40% of the HBM roofline. This kernel splits the output columns
+into groups of <= 128 (the MXU lane quantum). Group bands span only
+~128*M/L + T + 1 input samples; a pair of STATIC lane rolls re-aligns the
+group's band start to lane 0 of the xcat tile, so each group is ONE narrow
+matmul:
+
+    for group c [static]:
+        xg  = roll-assemble xcat so xg[j, m] = x[j*gM + b8_c + m]
+        out[:, cols(c)] = xg[:JT, :span_c] @ K[b8_c : b8_c + span_c, cols(c)]
+
+MACs/input ~ (L/M) * (128*M/L + T) ~ 151 for the headline vs ~614 dense —
+the kernel leaves the MXU-bound regime and runs at the single-read HBM
+bandwidth bound. Roll-assembly is O(NC) VPU ops per tile: negligible.
+
+Requirements: group bands must fit one xcat row span (gM >= 128*M/L + T +
+1 + 8, checked by band_groups); the deficit must be folded into the DATA
+(callers slice xext by d0-1) — group ranges carry only the +1 row of
+entry-phase slack (any phi0 in [1, L] shifts a fresh band start by at most
++1, see build_k_matrix).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["rational_supercycle_grouped", "band_groups"]
+
+
+def band_groups(T: int, L: int, M: int, group: int,
+                cols_per_group: int = 128):
+    """Static (col0, col1, b8, span) for each output-column group.
+
+    Column c = r_g*L + r has fresh-stream band start off_c = r_g*M +
+    (r*M)//L; entry phase phi0 in [1, L] shifts it by at most +1 row.
+    b8 is the group's 8-aligned minimum band row; span covers through the
+    slack-padded band end, 8-rounded. Returns None if any group span
+    exceeds group*M (kernel inapplicable: use the dense v1 kernel).
+    """
+    gL, gM = group * L, group * M
+    c = np.arange(gL)
+    off = (c // L) * M + ((c % L) * M) // L
+    groups = []
+    for c0 in range(0, gL, cols_per_group):
+        c1 = min(c0 + cols_per_group, gL)
+        b8 = (int(off[c0:c1].min()) // 8) * 8
+        hi = int(off[c0:c1].max()) + 1 + T     # +1 phi0 slack
+        span = -(-(hi - b8) // 8) * 8
+        if span > gM:
+            return None
+        groups.append((c0, c1, b8, span))
+    return tuple(groups)
+
+
+def _kernel(x_a, x_b, k_ref, o_ref, *, JT: int, gM: int, groups: tuple):
+    # xcat row r holds x[r*gM : (r+1)*gM]; for group band start b8:
+    # xg[j, m] = x[j*gM + b8 + m] assembled from two static lane rolls
+    # (the in-row part and the next-row spill).
+    xcat = jnp.concatenate([x_a[:], x_b[:]], axis=0)       # (JT+JT2, gM)
+    total = xcat.shape[0]
+    lanes_iota = jax.lax.broadcasted_iota(jnp.int32, xcat.shape, 1)
+    xnext = None
+    for (c0, c1, b8, span) in groups:
+        if b8 == 0:
+            xg = xcat
+        else:
+            r1 = pltpu.roll(xcat, jnp.int32(gM - b8), axis=1)
+            if b8 + span <= gM:
+                # no element past the row boundary is read within [:span]
+                xg = r1
+            else:
+                if xnext is None:
+                    xnext = pltpu.roll(xcat, jnp.int32(total - 1), axis=0)
+                r2 = pltpu.roll(xnext, jnp.int32(gM - b8), axis=1)
+                xg = jnp.where(lanes_iota < jnp.int32(gM - b8), r1, r2)
+        acc = jnp.dot(xg[:JT, :span], k_ref[b8: b8 + span, c0:c1],
+                      preferred_element_type=x_a.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
+        o_ref[:, c0:c1] = acc
+
+
+def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
+                                groups: tuple,
+                                JT: int | None = None,
+                                interpret: bool = False):
+    """Grouped-band variant of rational_supercycle_pallas.
+
+    ``x`` must start at the stream origin with the deficit ALREADY folded
+    into the data (x[d0-1:] slicing by the caller). L/M here are the
+    effective grouped values (g*L, g*M); K is (U, L) from
+    build_k_matrix/_select_k (its M-row deficit headroom is unused here).
+    """
+    U = K.shape[0]
+    for (_, _, b8, span) in groups:
+        if b8 + span > U:
+            raise ValueError("group span exceeds K rows")
+    JT2 = 8     # only the next row is ever touched (span <= gM)
+    if JT is None:
+        JT = max(JT2, min(512, 131072 // M))
+        JT = -(-JT // JT2) * JT2
+    J_total = -(-n_out // L)
+    num_tiles = -(-J_total // JT)
+    need = (num_tiles * JT + JT2) * M
+    x_pad = jnp.pad(x, (0, max(0, need - x.shape[0])))[:need]
+    x2d = x_pad.reshape(-1, M)
+    ratio = JT // JT2
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, JT=JT, gM=M, groups=groups),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), x.dtype),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((JT, M), lambda j: (j, j * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((JT2, M), lambda j: ((j + 1) * ratio, j * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, L), lambda j: (j * 0, j * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((JT, L), lambda j: (j, j * 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2d, x2d, K)
+    return out.reshape(num_tiles * JT * L)[:n_out]

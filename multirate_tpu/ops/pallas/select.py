@@ -49,8 +49,10 @@ def _kernel(bs_ref, q_ref, alpha_ref, qa_row, qb_row, da_row, db_row, o_ref,
 
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * RQ), 1)
     onehot_r = (rows_iota == row_local[:, None]).astype(qcat.dtype)
-    A = jnp.dot(onehot_r, qcat, preferred_element_type=qcat.dtype)
-    Ad = jnp.dot(onehot_r, dcat, preferred_element_type=qcat.dtype)
+    A = jnp.dot(onehot_r, qcat, preferred_element_type=qcat.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    Ad = jnp.dot(onehot_r, dcat, preferred_element_type=qcat.dtype,
+                 precision=jax.lax.Precision.HIGHEST)
 
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (B, _LANES), 1)
     mask = (lanes_iota == lane[:, None]).astype(qcat.dtype)
@@ -121,9 +123,11 @@ def _poly_kernel(bs_ref, q_ref, w_ref, fa_row, fb_row, o_ref,
     fcat = jnp.concatenate([fa_row[:], fb_row[:]], axis=0)   # (2RQ, 128)
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * RQ), 1)
     A = jnp.dot((rows_iota == row_local[:, None]).astype(fcat.dtype), fcat,
-                preferred_element_type=fcat.dtype)
+                preferred_element_type=fcat.dtype,
+                precision=jax.lax.Precision.HIGHEST)
     A2 = jnp.dot((rows_iota == (row_local + 1)[:, None]).astype(fcat.dtype),
-                 fcat, preferred_element_type=fcat.dtype)
+                 fcat, preferred_element_type=fcat.dtype,
+                 precision=jax.lax.Precision.HIGHEST)
 
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (B, _LANES), 1)
     y = jnp.zeros((B,), fcat.dtype)
@@ -202,16 +206,20 @@ def _win_kernel(bs_ref, q_ref, phi_ref, alpha_ref, xa, xb, pfbt, dpfbt,
     # taps (B, T) = onehot(phi) @ (pfbT + alpha*dpfbT per-row)
     phi_iota = jax.lax.broadcasted_iota(jnp.int32, (B, NPHI), 1)
     onehot_p = (phi_iota == phi[:, None]).astype(xa.dtype)
-    t_lo = jnp.dot(onehot_p, pfbt[:], preferred_element_type=xa.dtype)
-    t_hi = jnp.dot(onehot_p, dpfbt[:], preferred_element_type=xa.dtype)
+    t_lo = jnp.dot(onehot_p, pfbt[:], preferred_element_type=xa.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+    t_hi = jnp.dot(onehot_p, dpfbt[:], preferred_element_type=xa.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     taps = t_lo + alpha[:, None] * t_hi            # (B, T)
 
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)  # (2RQ, 128)
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * RQ), 1)
     A = jnp.dot((rows_iota == row_local[:, None]).astype(xcat.dtype), xcat,
-                preferred_element_type=xcat.dtype)
+                preferred_element_type=xcat.dtype,
+                precision=jax.lax.Precision.HIGHEST)
     A2 = jnp.dot((rows_iota == (row_local + 1)[:, None]).astype(xcat.dtype),
-                 xcat, preferred_element_type=xcat.dtype)
+                 xcat, preferred_element_type=xcat.dtype,
+                 precision=jax.lax.Precision.HIGHEST)
 
     # W[:, s] = sum_t taps[:, t] * x_window_starting_at_lane_s[t], built
     # with T lane-rolls (A2 supplies the cross-row spill); then one masked
@@ -294,14 +302,17 @@ def _win_farrow_kernel(bs_ref, q_ref, pw_ref, xa, xb, coeffs, o_ref,
     lane = jax.lax.rem(q, lanes)
 
     taps = jnp.dot(pw_ref[sub, :, :], coeffs[:],
-                   preferred_element_type=xa.dtype)       # (B, T)
+                   preferred_element_type=xa.dtype,
+                   precision=jax.lax.Precision.HIGHEST)       # (B, T)
 
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * RQ), 1)
     A = jnp.dot((rows_iota == row_local[:, None]).astype(xcat.dtype), xcat,
-                preferred_element_type=xcat.dtype)
+                preferred_element_type=xcat.dtype,
+                precision=jax.lax.Precision.HIGHEST)
     A2 = jnp.dot((rows_iota == (row_local + 1)[:, None]).astype(xcat.dtype),
-                 xcat, preferred_element_type=xcat.dtype)
+                 xcat, preferred_element_type=xcat.dtype,
+                 precision=jax.lax.Precision.HIGHEST)
 
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (B, _LANES), 1)
     W = jnp.zeros((B, _LANES), xcat.dtype)

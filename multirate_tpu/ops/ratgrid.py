@@ -135,10 +135,12 @@ def farrow_ratgrid_apply(meta, K, nphi: int, delta_fx: int, xext, u0, d0,
     ]
     X3 = jnp.concatenate(parts, axis=-1)[..., :U]
 
-    G = jnp.einsum("...ju,uc->...jc", X3.astype(dt), K.astype(dt))
+    G = jnp.einsum("...ju,uc->...jc", X3.astype(dt), K.astype(dt),
+                   precision=jax.lax.Precision.HIGH)
     G = G.reshape(*lead, JJ * L2, n_b, P1)[..., :n_max, :, :]
 
     psi32 = psi.astype(dt)
     powers = psi32[:, None] ** jnp.arange(P1, dtype=dt)[None, :]
     sel = jax.nn.one_hot(b_idx, n_b, dtype=dt)
-    return jnp.einsum("...nbp,np,nb->...n", G, powers, sel).astype(dt)
+    return jnp.einsum("...nbp,np,nb->...n", G, powers, sel,
+                      precision=jax.lax.Precision.HIGH).astype(dt)

@@ -106,6 +106,25 @@ def test_batched_channels(rng):
                 assert_close(y[i, j], yr, rtol=1e-10, label=f"batch {spec}")
 
 
+def test_complex_taps_planar_fast_path(rng):
+    """Complex TAPS route through the supercycle MXU machinery as 2-4 real
+    planar applies (not the slow windows gather): pallas/supercycle must
+    equal the windows oracle for real and complex signals."""
+    for spec in [(1, 1), (3, 1), (1, 4), (3, 2), (147, 160)]:
+        h = (rng.standard_normal(48)
+             + 1j * rng.standard_normal(48)).astype(np.complex128)
+        for tx in (np.float64, np.complex128):
+            x = rng.standard_normal(400)
+            if tx == np.complex128:
+                x = x + 1j * rng.standard_normal(400)
+            ref = np.asarray(mr.filt(h, x, Fraction(*spec), path="windows"))
+            for p in ("supercycle", "pallas"):
+                got = np.asarray(mr.filt(h, x, Fraction(*spec), path=p))
+                assert got.shape == ref.shape
+                assert_close(got, ref, rtol=1e-9, atol=1e-10,
+                             label=f"cx-taps {spec} {tx.__name__} {p}")
+
+
 def test_oracle_vs_scipy_upfirdn(rng):
     """Independent second implementation of the rational oracle — the
     analogue of the reference validating its naive path against DSP.firfilt
