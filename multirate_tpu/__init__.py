@@ -62,6 +62,7 @@ from .ops import (  # noqa: E402
     FilterState,
     filt,
     filt_block,
+    filt_block_inplace,
     init_state,
     inputlength,
     max_outputs,
@@ -85,7 +86,8 @@ __all__ = [
     "PHASE_FRAC_BITS", "PHASE_ONE", "make_kernel",
     "FIRFilter", "FIRStandard", "FIRInterpolator", "FIRDecimator",
     "FIRRational", "FIRArbitrary", "FIRFarrow", "FilterState",
-    "filt", "filt_block", "init_state", "inputlength", "max_outputs",
+    "filt", "filt_block", "filt_block_inplace", "init_state",
+    "inputlength", "max_outputs",
     "nextphase", "outputlength", "polyfit", "polyval", "pfb2pnfb", "reset",
     "setphase", "taps2pfb", "tapsforphase",
 ]

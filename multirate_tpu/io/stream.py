@@ -18,6 +18,7 @@ import ctypes
 import os
 import subprocess
 import threading
+import time
 
 import numpy as np
 
@@ -122,13 +123,26 @@ class StreamingResampler:
     """Push arbitrary chunks in; pull resampled blocks out.
 
     Assembles fixed ``block_size`` input blocks from the ring, runs the
-    jitted filt step (state carried), and returns outputs as they become
-    available. ``flush()`` processes the remaining sub-block tail exactly
-    (separate jit shape, compiled once).
+    jitted filt step (state carried, donated on accelerators), and returns
+    outputs as they become available.
+
+    - ``flush()`` processes the sub-block tail by zero-padding it to the
+      SAME block shape (no recompile per distinct tail length) and trimming
+      to the exact closed-form output count of the true tail. A flush ends
+      the stream: further pushes raise until ``reset()``.
+    - ``checkpoint_every=N`` saves the FilterState plus the
+      consumed-sample counter to ``checkpoint_path`` after every N blocks
+      (SURVEY.md section 5 failure recovery). ``resume()`` restores it and
+      returns the number of input samples already consumed, so a restarted
+      producer re-feeds from that offset and the concatenated output is
+      identical to an uninterrupted run (tested:
+      tests/test_io.py::test_streaming_kill_and_resume).
     """
 
     def __init__(self, params_or_filter, block_size: int = 1 << 16,
-                 ring_capacity: int | None = None):
+                 ring_capacity: int | None = None,
+                 checkpoint_every: int | None = None,
+                 checkpoint_path: str | None = None):
         from ..ops import FIRFilter
 
         if isinstance(params_or_filter, FIRFilter):
@@ -142,19 +156,91 @@ class StreamingResampler:
         self.block_size = block_size
         self.ring = RingBuffer(ring_capacity or max(4 * block_size, 1 << 16))
         self._out: list[np.ndarray] = []
+        self._ended = False
+        self._blocks = 0
+        self._consumed = 0
+        self._produced = 0
+        self._block_seconds_last = None
+        self._block_seconds_ema = None
+        self.checkpoint_every = checkpoint_every
+        self.checkpoint_path = checkpoint_path
+        if checkpoint_every and not checkpoint_path:
+            raise ValueError("checkpoint_every requires checkpoint_path")
 
     @property
     def state(self):
         return self._filter.state
 
+    def _run_block(self, blk: np.ndarray):
+        t0 = time.perf_counter()
+        y = np.asarray(self._filter.filt(blk))
+        dt = time.perf_counter() - t0
+        self._out.append(y)
+        self._blocks += 1
+        self._consumed += blk.size
+        self._produced += y.shape[-1]
+        self._block_seconds_last = dt
+        # EMA over ~16 blocks: smooth enough to read, fresh enough to alert
+        self._block_seconds_ema = dt if self._block_seconds_ema is None \
+            else 0.9375 * self._block_seconds_ema + 0.0625 * dt
+        if self.checkpoint_every and \
+                self._blocks % self.checkpoint_every == 0:
+            self.checkpoint()
+
+    def stats(self) -> dict:
+        """Structured per-block observability: counters + block timings.
+
+        NOTE: block wall times include host<->device dispatch; on the TPU
+        relay they are dominated by the ~25 ms RTT (see utils/metrics.py) —
+        treat them as end-to-end pipeline latency, not kernel time.
+        """
+        return {
+            "blocks": self._blocks,
+            "consumed_samples": self._consumed,
+            "produced_samples": self._produced,
+            "queued_samples": len(self.ring),
+            "pending_output_chunks": len(self._out),
+            "block_seconds_last": self._block_seconds_last,
+            "block_seconds_ema": self._block_seconds_ema,
+            "ended": self._ended,
+        }
+
+    def checkpoint(self) -> None:
+        """Persist (FilterState, consumed/produced counters) atomically."""
+        from ..utils.checkpoint import state_to_host
+
+        payload = state_to_host(self._filter.state)
+        payload["consumed"] = np.asarray(self._consumed)
+        payload["produced"] = np.asarray(self._produced)
+        tmp = self.checkpoint_path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, self.checkpoint_path)
+
+    def resume(self) -> int:
+        """Restore the last checkpoint; returns the consumed-sample count
+        (the offset from which the producer must re-feed input)."""
+        from ..utils.checkpoint import state_from_host
+
+        with np.load(self.checkpoint_path) as z:
+            d = {k: z[k] for k in z.files}
+        self._consumed = int(d.pop("consumed"))
+        self._produced = int(d.pop("produced"))
+        self._filter.state = state_from_host(d)
+        self._blocks = 0
+        self._ended = False
+        self._out.clear()
+        return self._consumed
+
     def push(self, chunk) -> int:
         """Queue samples; runs the filter for every complete block."""
+        if self._ended:
+            raise RuntimeError("stream was flushed; call reset() to reuse")
         queued = self.ring.push(chunk)
         while True:
             blk = self.ring.pop_block(self.block_size)
             if blk is None:
                 break
-            self._out.append(np.asarray(self._filter.filt(blk)))
+            self._run_block(blk)
         return queued
 
     def pull(self) -> np.ndarray:
@@ -166,8 +252,32 @@ class StreamingResampler:
         return out
 
     def flush(self) -> np.ndarray:
-        """Process the remaining sub-block tail and return all output."""
+        """Process the remaining sub-block tail exactly and return all
+        output. Zero-pads the tail to ``block_size`` (reusing the one
+        compiled block shape) and trims to the true tail's closed-form
+        output count; the stream is then ended (state includes pad zeros)."""
+        from ..ops import outputlength
+
         tail = self.ring.drain()
         if tail.size:
-            self._out.append(np.asarray(self._filter.filt(tail)))
+            st = self._filter.state
+            true_count = outputlength(self._filter.params, int(tail.size),
+                                      state=st)
+            padded = np.zeros(self.block_size, np.float32)
+            padded[: tail.size] = tail
+            y = np.asarray(self._filter.filt(padded))
+            self._out.append(y[..., : true_count])
+            self._consumed += tail.size
+            self._produced += true_count
+            self._ended = True
         return self.pull()
+
+    def reset(self) -> "StreamingResampler":
+        """Start a fresh stream (zero state, counters, queued output)."""
+        self._filter.reset()
+        self._out.clear()
+        self._ended = False
+        self._blocks = 0
+        self._consumed = 0
+        self._produced = 0
+        return self

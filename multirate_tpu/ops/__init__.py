@@ -13,7 +13,8 @@ from .params import (
 )
 from .compute import filt_block_raw
 from .api import (
-    filt, filt_block, FIRFilter, setphase, reset, tapsforphase,
+    filt, filt_block, filt_block_inplace, FIRFilter, setphase, reset,
+    tapsforphase,
     outputlength, inputlength, nextphase, max_outputs,
 )
 
@@ -22,6 +23,7 @@ __all__ = [
     "PHASE_FRAC_BITS", "PHASE_ONE",
     "FIRStandard", "FIRInterpolator", "FIRDecimator", "FIRRational",
     "FIRArbitrary", "FIRFarrow", "FilterState", "init_state", "make_kernel",
-    "filt", "filt_block", "filt_block_raw", "FIRFilter", "setphase", "reset",
+    "filt", "filt_block", "filt_block_inplace", "filt_block_raw",
+    "FIRFilter", "setphase", "reset",
     "tapsforphase", "outputlength", "inputlength", "nextphase", "max_outputs",
 ]

@@ -32,7 +32,8 @@ from .params import (
 )
 
 __all__ = [
-    "filt", "filt_block", "FIRFilter", "setphase", "reset", "tapsforphase",
+    "filt", "filt_block", "filt_block_inplace", "FIRFilter",
+    "setphase", "reset", "tapsforphase",
     "outputlength", "inputlength", "nextphase", "max_outputs",
 ]
 
@@ -44,6 +45,14 @@ max_outputs = _idx.max_outputs
 
 filt_block = jax.jit(filt_block_raw, static_argnames=("path",))
 filt_block.__doc__ = filt_block_raw.__doc__
+
+# Streaming-loop variant: the state pytree is DONATED, so XLA reuses the
+# history buffer in place instead of re-allocating it every block
+# (SURVEY.md 2.3 donate-argnum buffers). The caller's input state is
+# invalidated — only use where the state is threaded linearly (FIRFilter,
+# StreamingResampler). Donation is a no-op on CPU.
+filt_block_inplace = jax.jit(filt_block_raw, static_argnames=("path",),
+                             donate_argnums=(1,))
 
 
 def filt(h, x, ratio_or_rate=Fraction(1, 1), nphi: int = 32,
@@ -129,11 +138,17 @@ class FIRFilter:
                 phase=self.state.phase, deficit=self.state.deficit)
 
     def filt(self, x):
-        """Filter a chunk, carrying streaming state across calls."""
+        """Filter a chunk, carrying streaming state across calls.
+
+        The state is threaded linearly, so on accelerators the jitted step
+        donates it (history buffers reused in place, no per-block
+        re-allocation)."""
         x = jnp.asarray(x)
         self._ensure_state(x)
-        y, count, self.state = filt_block(self.params, self.state, x,
-                                          path=self.path)
+        fb = filt_block if jax.default_backend() == "cpu" \
+            else filt_block_inplace
+        y, count, self.state = fb(self.params, self.state, x,
+                                  path=self.path)
         return y[..., : int(count)]
 
     __call__ = filt

@@ -575,7 +575,7 @@ def _farrow(params: FIRFarrow, state, x, path):
     if path == "ratgrid":
         from .ratgrid import farrow_ratgrid_apply
 
-        if params.ratgrid_meta is None or n_max > params.ratgrid_meta[-1]:
+        if params.ratgrid_meta is None or n_max > params.ratgrid_meta.n_cap:
             raise ValueError(
                 "no rational-grid plan for this configuration/block size; "
                 "use path='phaseall' or 'windows'")
@@ -632,7 +632,7 @@ def _auto_path(params, x):
     if isinstance(params, FIRFarrow) and not cx_taps:
         if (params.ratgrid_meta is not None
                 and idx.max_outputs(params, x.shape[-1])
-                <= params.ratgrid_meta[-1]
+                <= params.ratgrid_meta.n_cap
                 and (on_tpu or x.shape[-1] >= 4096)):
             return "ratgrid"      # static banded matmul, no gathers at all
     if isinstance(params, (FIRArbitrary, FIRFarrow)):

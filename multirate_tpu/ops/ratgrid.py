@@ -36,6 +36,7 @@ pytree; larger blocks fall back to other paths.
 from __future__ import annotations
 
 from fractions import Fraction
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,23 @@ import numpy as np
 
 from .params import PHASE_FRAC_BITS
 
-__all__ = ["build_ratgrid_plan", "farrow_ratgrid_apply", "N_CAP"]
+__all__ = ["build_ratgrid_plan", "farrow_ratgrid_apply", "RatgridMeta",
+           "N_CAP"]
+
+
+class RatgridMeta(NamedTuple):
+    """Static rational-grid plan header (hashable: lives in the params
+    pytree's static fields)."""
+
+    L2: int
+    M2: int
+    eps: int
+    b_min: int
+    n_b: int
+    U: int
+    P1: int
+    T: int
+    n_cap: int
 
 N_CAP = 1 << 24        # absolute bound on outputs per block for any plan
 _DRIFT_SLOTS = 4       # drift budget (window slots) => n_b <= 6
@@ -53,8 +70,7 @@ _MIN_CAP = 1 << 16     # plans valid for fewer outputs aren't worth having
 def build_ratgrid_plan(coeffs: np.ndarray, nphi: int, delta_fx: int):
     """(meta, K) for the rational-grid Farrow path, or (None, None).
 
-    meta = (L2, M2, eps, b_min, n_b, U, P1, T, n_cap) — python ints stored
-    as a static params field; K is the dense banded matrix (float64; cast to the
+    meta = RatgridMeta (python ints, static params field); K is the dense banded matrix (float64; cast to the
     compute dtype at apply time).
     ``n_cap`` is the per-block output-count bound that keeps the drift
     within the built variant window (rate-adaptive: better convergents
@@ -92,7 +108,8 @@ def build_ratgrid_plan(coeffs: np.ndarray, nphi: int, delta_fx: int):
             for p in range(P1):
                 off = int(s_r[r] + bi)        # s_0 == 0; bi = b - b_min
                 K[off: off + T, (r * n_b + bi) * P1 + p] = C[p]
-    meta = (L2, M2, int(eps), int(b_min), n_b, U, P1, T, int(n_cap))
+    meta = RatgridMeta(L2, M2, int(eps), int(b_min), n_b, U, P1, T,
+                       int(n_cap))
     return meta, K
 
 

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import jax
 
-__all__ = ["initialize", "is_multihost", "local_data_slice"]
+__all__ = ["initialize", "is_multihost", "local_data_slice",
+           "shard_quantum", "padded_global_len"]
 
 
 def initialize(coordinator_address: str | None = None,
@@ -40,10 +41,38 @@ def is_multihost() -> bool:
     return jax.process_count() > 1
 
 
-def local_data_slice(global_len: int, axis_size: int | None = None):
-    """(start, length) of this host's contiguous time-axis slice for
-    feeding per-host input shards (make_array_from_process_local_data)."""
+def shard_quantum(params, n_t: int) -> int:
+    """Global time-axis length quantum that keeps ``shard_filt_block``
+    applicable AND per-shard output counts uniform for the rational family:
+    n_t equal shards, each a multiple of the input stride M."""
+    M = getattr(params, "decimation", 1)
+    return n_t * M
+
+
+def padded_global_len(global_len: int, quantum: int) -> int:
+    """Smallest multiple of ``quantum`` >= global_len (callers zero-pad the
+    stream tail; trim outputs with the closed-form true output count as
+    sharded.sharded_resample does)."""
+    return -(-global_len // quantum) * quantum
+
+
+def local_data_slice(global_len: int, axis_size: int | None = None,
+                     quantum: int = 1, process_index: int | None = None):
+    """(start, length, valid) of this host's time-axis slice.
+
+    Every host receives the SAME ``length`` (the quantum-padded global
+    stream divided equally) so the result composes directly with
+    ``shard_filt_block``'s equal-shard requirement; ``valid`` is how many
+    of those samples exist in the unpadded stream (the remainder is
+    zero-fill supplied by the caller). Use with ``shard_quantum`` /
+    ``padded_global_len``:
+
+        q = shard_quantum(params, mesh.shape["t"]) * process_count
+        start, length, valid = local_data_slice(global_len, quantum=q)
+    """
     n = jax.process_count() if axis_size is None else axis_size
-    i = jax.process_index()
-    per = global_len // n
-    return i * per, per if i < n - 1 else global_len - i * per
+    i = jax.process_index() if process_index is None else process_index
+    per = padded_global_len(global_len, n * quantum) // n
+    start = i * per
+    valid = min(per, max(0, global_len - start))
+    return start, per, valid

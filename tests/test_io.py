@@ -102,3 +102,65 @@ def test_streaming_resampler_equals_whole(rng, spec):
     got = s.flush()
     assert got.shape == whole.shape
     assert_close(got, whole, rtol=1e-5, atol=1e-6, label=f"stream {spec}")
+
+
+def test_streaming_flush_exact_and_ended(rng):
+    """flush() pads the tail to the one compiled block shape and trims to
+    the exact closed-form output count; the stream then refuses pushes
+    until reset()."""
+    h = (mr.firdes(24 * 21, 0.5 / 21, mr.kaiser, beta=7.0) * 21
+         ).astype(np.float32)
+    x = rng.standard_normal(10_000).astype(np.float32)
+    whole = np.asarray(mr.filt(h, x, Fraction(147, 160)))
+    s = StreamingResampler(mr.FIRFilter(h, Fraction(147, 160)),
+                           block_size=4096)
+    s.push(x)
+    got = s.flush()
+    assert got.shape == whole.shape
+    assert_close(got, whole, rtol=1e-5, atol=1e-6, label="flush exact")
+    with pytest.raises(RuntimeError):
+        s.push(x[:10])
+    s.reset()
+    s.push(x)
+    got2 = s.flush()
+    assert_close(got2, whole, rtol=1e-5, atol=1e-6, label="after reset")
+
+
+def test_streaming_kill_and_resume(rng, tmp_path):
+    """SURVEY section 5 failure recovery: checkpoint every N blocks, kill
+    the driver, resume from the checkpoint, re-feed from the consumed
+    offset — concatenated output reproduces the uninterrupted run."""
+    ckpt = str(tmp_path / "stream.ckpt.npz")
+    h = (mr.firdes(24 * 21, 0.5 / 21, mr.kaiser, beta=7.0) * 21
+         ).astype(np.float32)
+    x = rng.standard_normal(40_000).astype(np.float32)
+    whole = np.asarray(mr.filt(h, x, 1.2345))
+
+    s = StreamingResampler(mr.FIRFilter(h, 1.2345), block_size=4096,
+                           checkpoint_every=2, checkpoint_path=ckpt)
+    # feed ~60% of the stream, collecting output as we go
+    part1 = []
+    i = 0
+    while i < 24_000:
+        n = min(int(rng.integers(500, 3000)), 24_000 - i)
+        s.push(x[i:i + n])
+        part1.append(s.pull())
+        i += n
+    produced_before_kill = int(np.concatenate(part1).size) if part1 else 0
+    del s  # "crash": everything in-memory is lost
+
+    s2 = StreamingResampler(mr.FIRFilter(h, 1.2345), block_size=4096,
+                            checkpoint_every=2, checkpoint_path=ckpt)
+    consumed = s2.resume()
+    assert 0 < consumed <= 24_000 and consumed % 4096 == 0
+    s2.push(x[consumed:])
+    got_tail = s2.flush()
+    # outputs from the checkpoint onward must match the uninterrupted run
+    ckpt_produced = s2._produced - got_tail.size
+    np.testing.assert_allclose(got_tail,
+                               whole[ckpt_produced:], rtol=1e-5, atol=1e-6)
+    # and the pre-kill prefix up to the checkpoint matches too
+    pre = np.concatenate(part1)[:ckpt_produced]
+    np.testing.assert_allclose(pre, whole[:ckpt_produced],
+                               rtol=1e-5, atol=1e-6)
+    assert ckpt_produced + got_tail.size == whole.size

@@ -211,8 +211,36 @@ def test_debug_check_block(rng):
         check_indices(p, int(st.phase), 1, 500)
 
 
-def test_multihost_helpers():
-    from multirate_tpu.parallel import is_multihost, local_data_slice
+def test_multihost_helpers_compose_with_sharding(rng):
+    """local_data_slice must produce EQUAL per-host slices whose
+    concatenation (with tail zero-fill) is the quantum-padded stream, so it
+    composes with shard_filt_block's equal-shard requirement — the round-1
+    pairing silently gave the last host the remainder."""
+    from multirate_tpu.parallel import is_multihost
+    from multirate_tpu.parallel.multihost import (
+        local_data_slice, padded_global_len, shard_quantum)
+
     assert not is_multihost()
-    start, n = local_data_slice(1000)
-    assert (start, n) == (0, 1000)
+    start, n, valid = local_data_slice(1000)
+    assert (start, n, valid) == (0, 1000, 1000)
+
+    h = rng.standard_normal(33)
+    p = mr.make_kernel(h, ratio=(147, 160))
+    n_t, n_hosts = 4, 3
+    q = shard_quantum(p, n_t)
+    assert q == 4 * 160
+    for global_len in (1000, 12345, q * 6, q * 6 + 1):
+        padded = padded_global_len(global_len, n_hosts * q)
+        assert padded % (n_hosts * q) == 0 and padded >= global_len
+        lengths, covered, valid_total = set(), 0, 0
+        for i in range(n_hosts):
+            s, ln, v = local_data_slice(global_len, axis_size=n_hosts,
+                                        quantum=q, process_index=i)
+            assert s == covered
+            lengths.add(ln)
+            covered += ln
+            valid_total += v
+            assert ln % q == 0          # each host's share shards cleanly
+        assert len(lengths) == 1        # equal shares
+        assert covered == padded
+        assert valid_total == global_len
