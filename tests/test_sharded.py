@@ -113,3 +113,33 @@ def test_multichannel_resampler_model(rng):
     ref = np.asarray(mr.filt(m.taps, x[3], Fraction(3, 2)))
     assert_close(y[3], ref[: y.shape[-1]], rtol=1e-4, atol=1e-5,
                  label="mc model")
+
+
+def test_sharded_ragged_steady_state_no_host_transfers(rng):
+    """The ragged (arb/Farrow) sharded pipeline must be fully
+    device-resident in steady state: block step + compact_device under
+    jax.transfer_guard('disallow') — the round-1 compact() host round trip
+    would trip it."""
+    import jax.numpy as jnp
+    from test_arbitrary import design_taps
+    from multirate_tpu.parallel.sharded import compact_device
+
+    mesh = make_mesh(2, 4)
+    h = design_taps().astype(np.float32)
+    p = mr.make_kernel(h, rate=0.9173, nphi=32, polyorder=4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    C, N = 4, 4096
+    x = jax.device_put(rng.standard_normal((C, N)).astype(np.float32),
+                       NamedSharding(mesh, P("ch", "t")))
+    state = mr.init_state(p, (C,), jnp.float32)
+
+    step = jax.jit(lambda s, xx: shard_filt_block(p, s, xx, mesh))
+    y, counts, state = step(state, x)          # compile outside the guard
+    dense, total = compact_device(y, counts)
+    with jax.transfer_guard("disallow"):
+        for _ in range(3):
+            y, counts, state = step(state, x)
+            dense, total = compact_device(y, counts)
+    got = np.asarray(dense)[..., : int(total)]
+    assert got.shape[-1] > 0 and np.isfinite(got).all()
