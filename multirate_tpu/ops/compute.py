@@ -84,6 +84,10 @@ def _gather_windows(xext, starts0, taps_per_phi: int, slices: bool = False):
 
 def _row_contract(W, taps):
     """y[..., n] = sum_t W[..., n, t] * taps[n, t]."""
+    if W.dtype == jnp.bfloat16:
+        return jnp.einsum("...nt,nt->...n", W, taps,
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)
     return jnp.einsum("...nt,nt->...n", W, taps, precision=prec.TAP)
 
 
@@ -170,7 +174,12 @@ def _select_k(params, phi0, d0, dtype):
 
 
 def _supercycle_xla(xext, K, L_eff: int, M_eff: int, n_max: int):
-    """Banded matmul with X3 materialized by XLA reshape/concat."""
+    """Banded matmul with X3 materialized by XLA reshape/concat.
+
+    bfloat16 operands accumulate in float32 on the MXU (native single-pass
+    bf16 matmul, no precision splitting) and round back to bf16 on output:
+    the quantized low-bandwidth mode (bf16 taps + bf16 signal halves HBM
+    traffic, doubling the roofline)."""
     U = K.shape[0]
     J = -(-n_max // L_eff)
     k_parts = -(-U // M_eff)
@@ -183,8 +192,13 @@ def _supercycle_xla(xext, K, L_eff: int, M_eff: int, n_max: int):
         for i in range(k_parts)
     ]
     X3 = jnp.concatenate(parts, axis=-1)[..., :U]
-    Y = jnp.einsum("...ju,ul->...jl", X3, K.astype(X3.dtype),
-                   precision=prec.TAP)
+    if X3.dtype == jnp.bfloat16:
+        Y = jnp.einsum("...ju,ul->...jl", X3, K.astype(X3.dtype),
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)
+    else:
+        Y = jnp.einsum("...ju,ul->...jl", X3, K.astype(X3.dtype),
+                       precision=prec.TAP)
     return Y.reshape(*lead, J * L_eff)[..., :n_max]
 
 
@@ -622,6 +636,14 @@ def _auto_path(params, x):
         (params.taps_rev if hasattr(params, "taps_rev") else params.pfb).dtype,
         jnp.complexfloating)
     on_tpu = jax.default_backend() == "tpu"
+    taps_dt = (params.taps_rev if hasattr(params, "taps_rev")
+               else params.pfb).dtype
+    if taps_dt == jnp.bfloat16 and isinstance(
+            params, (FIRStandard, FIRInterpolator, FIRDecimator,
+                     FIRRational)):
+        # quantized mode: XLA supercycle (native 1-pass bf16 MXU matmul,
+        # f32 accumulation); pallas bf16 tiles are a round-3 item
+        return "supercycle"
     if isinstance(params, (FIRStandard, FIRInterpolator, FIRDecimator)):
         if cx_taps:
             # planar re/im decomposition through the supercycle MXU path

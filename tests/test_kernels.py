@@ -106,6 +106,39 @@ def test_batched_channels(rng):
                 assert_close(y[i, j], yr, rtol=1e-10, label=f"batch {spec}")
 
 
+def test_bfloat16_quantized_mode(rng):
+    """bf16 taps + bf16 signal: the quantized low-bandwidth mode (f32 MXU
+    accumulation, bf16 output). Output tracks the f64 oracle within bf16
+    data quantization; index decisions stay exactly chunking-invariant."""
+    import jax.numpy as jnp
+    from multirate_tpu.ops.compute import _auto_path
+
+    h64 = rng.standard_normal(24 * 21)
+    x64 = rng.standard_normal(4000)
+    for spec in [Fraction(147, 160), Fraction(1, 4), Fraction(4, 1)]:
+        want = np.asarray(mr.filt(h64, x64, spec))
+        hb = np.asarray(jnp.asarray(h64, jnp.bfloat16))
+        p = mr.make_kernel(hb, ratio=spec)
+        assert _auto_path(p, jnp.ones(8, jnp.bfloat16)) == "supercycle"
+        y = mr.filt(hb, jnp.asarray(x64, jnp.bfloat16), spec)
+        assert y.dtype == jnp.bfloat16 and y.shape == want.shape
+        got = np.asarray(y, np.float64)
+        rel = np.sqrt(np.mean((got - want) ** 2)) / \
+            np.sqrt(np.mean(want ** 2))
+        assert rel < 3e-2, (spec, rel)
+        # chunked == whole: index decisions exactly invariant (shape equal,
+        # no sample slips); values to ~1 bf16 ulp (f32 reduction order at
+        # mid-phase chunk entries can flip rounding ties)
+        f = mr.FIRFilter(hb, spec)
+        parts = [np.asarray(f.filt(jnp.asarray(x64[i:i + 997],
+                                               jnp.bfloat16)), np.float64)
+                 for i in range(0, 4000, 997)]
+        yc = np.concatenate(parts)
+        assert yc.shape == got.shape
+        ulp = np.abs(got).max() * 2.0 ** -7
+        assert np.abs(yc - got).max() <= ulp
+
+
 def test_complex_taps_planar_fast_path(rng):
     """Complex TAPS route through the supercycle MXU machinery as 2-4 real
     planar applies (not the slow windows gather): pallas/supercycle must
