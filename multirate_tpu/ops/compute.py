@@ -492,12 +492,31 @@ def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
     when taps_per_phi <= 64; the v1 lane-roll kernel otherwise."""
     from .params import PHASE_FRAC_BITS
 
-    inp, phi, frac = idx.accum_indices(
-        params.nphi, params.delta_fx, u0, d0, n_max)
-    starts = inp - 1
     D = params.nphi << PHASE_FRAC_BITS
     max_step = int(params.delta_fx // D) + 1
     interp = jax.default_backend() != "tpu"
+    from .pallas.select3 import v3_geometry, window_resample_v3
+
+    if dt == jnp.float32 and v3_geometry(
+            params.nphi, params.delta_fx, params.taps_per_phi,
+            n_max) is not None:
+        xs = lax.cond(
+            d0 == 1,
+            lambda: xext.astype(dt),
+            lambda: _shift_origin(xext.astype(dt), d0, max_step + 2),
+        )
+        run3 = lambda xv: window_resample_v3(  # noqa: E731
+            xv, u0, params.pfb, params.dpfb, params.nphi,
+            params.delta_fx, n_max, interpret=interp)
+        if xs.ndim == 1:
+            return run3(xs)
+        lead = xs.shape[:-1]
+        out = jax.vmap(run3)(xs.reshape(-1, xs.shape[-1]))
+        return out.reshape(*lead, n_max)
+
+    inp, phi, frac = idx.accum_indices(
+        params.nphi, params.delta_fx, u0, d0, n_max)
+    starts = inp - 1
     if params.taps_per_phi <= 64:
         from .pallas.select2 import window_resample_pallas
 
@@ -522,15 +541,34 @@ def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
 def _farrow_winsel(params: FIRFarrow, xext, u0, d0, n_max, dt):
     from .params import PHASE_FRAC_BITS
 
+    D = params.nphi << PHASE_FRAC_BITS
+    max_step = int(params.delta_fx // D) + 1
+    interp = jax.default_backend() != "tpu"
+    from .pallas.select3 import v3_geometry, window_resample_farrow_v3
+
+    if dt == jnp.float32 and v3_geometry(
+            params.nphi, params.delta_fx, params.taps_per_phi,
+            n_max) is not None:
+        xs = lax.cond(
+            d0 == 1,
+            lambda: xext.astype(dt),
+            lambda: _shift_origin(xext.astype(dt), d0, max_step + 2),
+        )
+        run3 = lambda xv: window_resample_farrow_v3(  # noqa: E731
+            xv, u0, params.coeffs, params.nphi, params.delta_fx, n_max,
+            interpret=interp)
+        if xs.ndim == 1:
+            return run3(xs)
+        lead = xs.shape[:-1]
+        out = jax.vmap(run3)(xs.reshape(-1, xs.shape[-1]))
+        return out.reshape(*lead, n_max)
+
     inp, phi, frac = idx.accum_indices(
         params.nphi, params.delta_fx, u0, d0, n_max)
     starts = inp - 1
     phase_val = 1.0 + phi.astype(jnp.float64) + frac
     powers = phase_val[:, None] ** jnp.arange(params.polyorder + 1,
                                               dtype=jnp.float64)[None, :]
-    D = params.nphi << PHASE_FRAC_BITS
-    max_step = int(params.delta_fx // D) + 1
-    interp = jax.default_backend() != "tpu"
     if params.taps_per_phi <= 128:
         from .pallas.select2 import window_resample_farrow_pallas
 

@@ -62,14 +62,24 @@ def band_groups(T: int, L: int, M: int, group: int,
     return tuple(groups)
 
 
-def _kernel(x_a, x_b, k_ref, o_ref, *, JT: int, gM: int, groups: tuple):
+def _kernel(x_a, x_b, *rest, JT: int, gM: int, groups: tuple,
+            three_pass: bool):
     # xcat row r holds x[r*gM : (r+1)*gM]; for group band start b8:
     # xg[j, m] = x[j*gM + b8 + m] assembled from two static lane rolls
     # (the in-row part and the next-row spill).
+    #
+    # three_pass: HIGHEST costs 6 bf16 MXU passes. The manual bf16x3
+    # split (x = hi + lo, K pre-split on host) costs 3 passes at ~2^-16
+    # relative error — well inside the 1e-4 budget (ops/precision.py).
+    if three_pass:
+        kh_ref, kl_ref, o_ref = rest
+    else:
+        (k_ref, o_ref) = rest
     xcat = jnp.concatenate([x_a[:], x_b[:]], axis=0)       # (JT+JT2, gM)
     total = xcat.shape[0]
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, xcat.shape, 1)
     xnext = None
+    f32 = jnp.float32
     for (c0, c1, b8, span) in groups:
         if b8 == 0:
             xg = xcat
@@ -83,16 +93,29 @@ def _kernel(x_a, x_b, k_ref, o_ref, *, JT: int, gM: int, groups: tuple):
                     xnext = pltpu.roll(xcat, jnp.int32(total - 1), axis=0)
                 r2 = pltpu.roll(xnext, jnp.int32(gM - b8), axis=1)
                 xg = jnp.where(lanes_iota < jnp.int32(gM - b8), r1, r2)
-        acc = jnp.dot(xg[:JT, :span], k_ref[b8: b8 + span, c0:c1],
-                      preferred_element_type=x_a.dtype,
-                      precision=jax.lax.Precision.HIGHEST)
+        xs = xg[:JT, :span]
+        if three_pass:
+            xh16 = xs.astype(jnp.bfloat16)
+            xl16 = (xs - xh16.astype(f32)).astype(jnp.bfloat16)
+            kh = kh_ref[b8: b8 + span, c0:c1]
+            kl = kl_ref[b8: b8 + span, c0:c1]
+            acc = jnp.dot(xh16, kh, preferred_element_type=f32)
+            acc = acc + jnp.dot(xh16, kl, preferred_element_type=f32)
+            acc = acc + jnp.dot(xl16, kh, preferred_element_type=f32)
+            acc = acc.astype(x_a.dtype)
+        else:
+            acc = jnp.dot(xs, rest[0][b8: b8 + span, c0:c1],
+                          preferred_element_type=x_a.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
         o_ref[:, c0:c1] = acc
 
 
 def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
                                 groups: tuple,
                                 JT: int | None = None,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                use_grid: bool = True,
+                                three_pass: bool = False):
     """Grouped-band variant of rational_supercycle_pallas.
 
     ``x`` must start at the stream origin with the deficit ALREADY folded
@@ -105,30 +128,75 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
         if b8 + span > U:
             raise ValueError("group span exceeds K rows")
     JT2 = 8     # only the next row is ever touched (span <= gM)
+    J_total = -(-n_out // L)
     if JT is None:
         JT = max(JT2, min(512, 131072 // M))
         JT = -(-JT // JT2) * JT2
-    J_total = -(-n_out // L)
+        JT = min(JT, -(-J_total // JT2) * JT2)
     num_tiles = -(-J_total // JT)
     need = (num_tiles * JT + JT2) * M
     x_pad = jnp.pad(x, (0, max(0, need - x.shape[0])))[:need]
     x2d = x_pad.reshape(-1, M)
     ratio = JT // JT2
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, JT=JT, gM=M, groups=groups),
-        out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), x.dtype),
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((JT, M), lambda j: (j, j * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((JT2, M), lambda j: ((j + 1) * ratio, j * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, L), lambda j: (j * 0, j * 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((JT, L), lambda j: (j, j * 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x2d, x2d, K)
+    if three_pass:
+        Kf = K.astype(jnp.float32)
+        K_hi = Kf.astype(jnp.bfloat16)
+        K_lo = (Kf - K_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        k_args = (K_hi, K_lo)
+        k_specs = [pl.BlockSpec((U, L), lambda j: (j * 0, j * 0),
+                                memory_space=pltpu.VMEM)] * 2
+    else:
+        k_args = (K,)
+        k_specs = [pl.BlockSpec((U, L), lambda j: (j * 0, j * 0),
+                                memory_space=pltpu.VMEM)]
+    kern = functools.partial(_kernel, JT=JT, gM=M, groups=groups,
+                             three_pass=three_pass)
+
+    if use_grid:
+        # Multi-tile grid (DMA/compute pipelining). Cold compiles of this
+        # shape were observed to take minutes through the relay compile
+        # service under load (the remote cache makes repeats instant);
+        # per-tile calls below are the fallback shape if that regresses.
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), x.dtype),
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((JT, M), lambda j: (j, j * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((JT2, M), lambda j: ((j + 1) * ratio, j * 0),
+                             memory_space=pltpu.VMEM),
+                *k_specs,
+            ],
+            out_specs=pl.BlockSpec((JT, L), lambda j: (j, j * 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x2d, x2d, *k_args)
+        return out.reshape(num_tiles * JT * L)[:n_out]
+
+    # One single-grid pallas call per tile, with CONSTANT block offsets in
+    # the index maps (sidesteps the slow-grid compile at the cost of one
+    # y-concat and no cross-tile pipelining).
+    tiles = []
+    for t in range(num_tiles):
+        out_t = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((JT, L), x.dtype),
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((JT, M), lambda j, _t=t: (j * 0 + _t, j * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((JT2, M),
+                             lambda j, _t=t: (j * 0 + (_t + 1) * ratio,
+                                              j * 0),
+                             memory_space=pltpu.VMEM),
+                *k_specs,
+            ],
+            out_specs=pl.BlockSpec((JT, L), lambda j: (j * 0, j * 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x2d, x2d, *k_args)
+        tiles.append(out_t)
+    out = tiles[0] if num_tiles == 1 else jnp.concatenate(tiles, axis=0)
     return out.reshape(num_tiles * JT * L)[:n_out]

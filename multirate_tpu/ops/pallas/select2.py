@@ -42,14 +42,27 @@ _LANES = 128
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _lane_gather(A, idx):
+    """take_along_axis(A, idx, axis=1) with int32 indices. jnp's own
+    take_along_axis force-converts indices to int64 under jax_enable_x64
+    (which this package enables) and Mosaic rejects 64-bit types; this
+    builds the identical batched lax.gather with int32 directly."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        A, idx[..., None], dnums, slice_sizes=(1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def _gather_window(A, A2, lane, B):
     """W[n, i] = (row n's window)[i]: element lane[n]+i of the double row
     [A[n] | A2[n]], via two full-width lane gathers + a boundary select."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, _LANES), 1)
     pos = lane[:, None] + iota                      # (B, 128) in [0, 255]
     idx = jax.lax.bitwise_and(pos, jnp.int32(_LANES - 1))
-    Wa = jnp.take_along_axis(A, idx, axis=1)
-    Wb = jnp.take_along_axis(A2, idx, axis=1)
+    Wa = _lane_gather(A, idx)
+    Wb = _lane_gather(A2, idx)
     return jnp.where(pos < jnp.int32(_LANES), Wa, Wb)
 
 

@@ -224,3 +224,39 @@ def test_farrow_ratgrid_batched(rng):
     ref = np.asarray(mr.filt(h, xb, 0.77, 32, 4, path="windows"))
     y = np.asarray(mr.filt(h, xb, 0.77, 32, 4, path="ratgrid"))
     np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_winsel_v3_fat_tile_kernels(rng):
+    """select3 (fat static tiles, packed int32 indices, 2-pass bf16
+    selects): f32 arb + Farrow vs the windows oracle, whole + chunked.
+    Tolerances reflect the designed 2^-16 alpha/psi quantization."""
+    from multirate_tpu.ops.pallas.select3 import v3_geometry
+    from multirate_tpu.ops import indexing as idx
+
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    x = rng.standard_normal(60_000).astype(np.float32)
+    for rate in (0.4709, 1.2468013579):
+        p = mr.make_kernel(h, rate=rate, nphi=32)
+        assert v3_geometry(32, p.delta_fx, p.taps_per_phi,
+                           idx.max_outputs(p, 60_000)) is not None
+        ref = np.asarray(mr.filt(h, x, rate, 32, path="windows"))
+        got = np.asarray(mr.filt(h, x, rate, 32, path="winsel"))
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-5
+        reff = np.asarray(mr.filt(h, x, rate, 32, 4, path="windows"))
+        gotf = np.asarray(mr.filt(h, x, rate, 32, 4, path="winsel"))
+        assert gotf.shape == reff.shape
+        assert np.abs(gotf - reff).max() / np.abs(reff).max() < 1e-4
+    # chunked (traced u0 + deficit shift) == whole
+    f = mr.FIRFilter(h, 0.87, nphi=32, path="winsel")
+    got = np.concatenate([np.asarray(f.filt(x[i:i + 7001]))
+                          for i in range(0, 56_008, 7001)])
+    whole = np.asarray(mr.filt(h, x[:56_008], 0.87, 32, path="windows"))
+    assert got.shape == whole.shape
+    assert np.abs(got - whole).max() / np.abs(whole).max() < 5e-5
+    # batched channels
+    xb = rng.standard_normal((3, 40_000)).astype(np.float32)
+    yb = np.asarray(mr.filt(h, xb, 0.77, 32, path="winsel"))
+    rb = np.asarray(mr.filt(h, xb, 0.77, 32, path="windows"))
+    assert np.abs(yb - rb).max() / np.abs(rb).max() < 5e-5
