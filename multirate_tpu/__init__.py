@@ -40,6 +40,7 @@ from .design import (  # noqa: E402
     HIGHPASS,
     BANDSTOP,
     firdes,
+    firdes_remez,
     firprototype,
     kaiserlength,
     kaiser,
@@ -81,7 +82,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "FIRResponse", "LOWPASS", "BANDPASS", "HIGHPASS", "BANDSTOP",
-    "firdes", "firprototype", "kaiserlength",
+    "firdes", "firdes_remez", "firprototype", "kaiserlength",
     "kaiser", "hanning", "hamming", "blackman", "rect",
     "PHASE_FRAC_BITS", "PHASE_ONE", "make_kernel",
     "FIRFilter", "FIRStandard", "FIRInterpolator", "FIRDecimator",

@@ -13,6 +13,7 @@ from .firdes import (
     HIGHPASS,
     BANDSTOP,
     firdes,
+    firdes_remez,
     firprototype,
     kaiserlength,
 )
@@ -20,5 +21,5 @@ from .firdes import (
 __all__ = [
     "kaiser", "hanning", "hamming", "blackman", "rect",
     "FIRResponse", "LOWPASS", "BANDPASS", "HIGHPASS", "BANDSTOP",
-    "firdes", "firprototype", "kaiserlength",
+    "firdes", "firdes_remez", "firprototype", "kaiserlength",
 ]

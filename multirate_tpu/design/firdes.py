@@ -17,6 +17,7 @@ import numpy as np
 from . import windows as _win
 
 __all__ = [
+    "firdes_remez",
     "FIRResponse", "LOWPASS", "BANDPASS", "HIGHPASS", "BANDSTOP",
     "kaiserlength", "firprototype", "firdes",
 ]
@@ -148,3 +149,43 @@ def firdes(
         numtaps, cutoff, _win.kaiser,
         response=response, samplerate=samplerate, beta=beta_k,
     )
+
+
+def firdes_remez(numtaps: int, f_pass, f_stop,
+                 response_type: FIRResponse = FIRResponse.LOWPASS,
+                 samplerate: float = 1.0, weight=None) -> np.ndarray:
+    """Equiripple (Parks-McClellan) FIR design — a designer the reference
+    lacks (FIRDesign.jl is windowed-sinc only). Wraps scipy.signal.remez
+    with the band conventions of ``firdes``:
+
+    - LOWPASS/HIGHPASS: scalar ``f_pass``/``f_stop`` edges (pass ripple
+      weighted equally unless ``weight`` given).
+    - BANDPASS/BANDSTOP: ``f_pass`` and ``f_stop`` are (lo, hi) pairs;
+      for BANDPASS, f_stop brackets f_pass from outside, and vice versa.
+
+    Frequencies are in the same units as ``samplerate`` (default:
+    normalized to fs=1.0). Returns float64 taps of length ``numtaps``.
+    """
+    from scipy.signal import remez as _remez
+
+    fs = float(samplerate)
+    rt = FIRResponse(response_type)
+    if rt == FIRResponse.LOWPASS:
+        bands = [0.0, f_pass, f_stop, fs / 2]
+        desired = [1.0, 0.0]
+    elif rt == FIRResponse.HIGHPASS:
+        bands = [0.0, f_stop, f_pass, fs / 2]
+        desired = [0.0, 1.0]
+    elif rt == FIRResponse.BANDPASS:
+        (p_lo, p_hi), (s_lo, s_hi) = f_pass, f_stop
+        bands = [0.0, s_lo, p_lo, p_hi, s_hi, fs / 2]
+        desired = [0.0, 1.0, 0.0]
+    elif rt == FIRResponse.BANDSTOP:
+        (p_lo, p_hi), (s_lo, s_hi) = f_pass, f_stop
+        bands = [0.0, p_lo, s_lo, s_hi, p_hi, fs / 2]
+        desired = [1.0, 0.0, 1.0]
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported response type {response_type}")
+    if not all(bands[i] < bands[i + 1] for i in range(len(bands) - 1)):
+        raise ValueError(f"band edges must be increasing, got {bands}")
+    return _remez(numtaps, bands, desired, weight=weight, fs=fs)

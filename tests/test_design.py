@@ -89,3 +89,40 @@ def test_lowpass_dc_gain():
     # A lowpass windowed-sinc should have ~unity DC gain.
     h = mr.firdes(0.25, 0.02, 80.0)
     assert abs(h.sum() - 1.0) < 1e-3
+
+
+def test_firdes_remez_responses():
+    """Equiripple designer (reference has windowed-sinc only): passband
+    ~unity / stopband attenuated for all four response types; matches a
+    direct scipy.signal.remez call."""
+    import multirate_tpu as mr
+    from scipy.signal import freqz, remez
+
+    def mag(h, f):
+        w, resp = freqz(h, worN=2048)
+        idx = (np.abs(w / np.pi / 2 - np.asarray(f))).argmin() \
+            if np.isscalar(f) else None
+        return w / (2 * np.pi), np.abs(resp)
+
+    h = mr.firdes_remez(101, 0.18, 0.24)
+    fgrid, m = mag(h, None)
+    assert np.all(np.abs(m[fgrid < 0.15] - 1) < 0.02)
+    assert np.all(m[fgrid > 0.26] < 0.02)
+    np.testing.assert_allclose(
+        h, remez(101, [0, 0.18, 0.24, 0.5], [1, 0], fs=1.0))
+
+    h = mr.firdes_remez(101, 0.3, 0.24, mr.HIGHPASS)
+    fgrid, m = mag(h, None)
+    assert np.all(np.abs(m[fgrid > 0.32] - 1) < 0.02)
+    assert np.all(m[fgrid < 0.22] < 0.02)
+
+    h = mr.firdes_remez(145, (0.2, 0.3), (0.15, 0.35), mr.BANDPASS)
+    fgrid, m = mag(h, None)
+    assert np.all(np.abs(m[(fgrid > 0.22) & (fgrid < 0.28)] - 1) < 0.03)
+    assert np.all(m[fgrid < 0.13] < 0.03) and np.all(m[fgrid > 0.37] < 0.03)
+
+    h = mr.firdes_remez(121, (0.12, 0.38), (0.2, 0.3), mr.BANDSTOP)
+    fgrid, m = mag(h, None)
+    assert np.all(m[(fgrid > 0.22) & (fgrid < 0.28)] < 0.03)
+    with pytest.raises(ValueError):
+        mr.firdes_remez(65, 0.3, 0.2)  # edges not increasing (lowpass)
