@@ -37,14 +37,14 @@ def wait_for_relay(max_attempts=40):
         log(f"canary attempt {i + 1}")
         try:
             r = subprocess.run([sys.executable, "-c", code], env=env,
-                               capture_output=True, text=True, timeout=240)
+                               capture_output=True, text=True, timeout=550)
             if "HEALTHY" in r.stdout:
                 log("relay healthy")
                 return True
         except subprocess.TimeoutExpired:
             pass
-        log("unhealthy; sleeping 600s")
-        time.sleep(600)
+        log("unhealthy; sleeping 480s")
+        time.sleep(480)
     return False
 
 
@@ -144,12 +144,18 @@ def main():
     log("device:", jax.devices()[0].device_kind)
     import multirate_tpu as mr
 
+    wanted = sys.argv[1] if len(sys.argv) > 1 else "ABC"
     for name, fn in [("A", stage_a), ("B", stage_b)]:
+        if name not in wanted:
+            continue
         try:
             fn(jax, jnp, mr)
         except Exception as e:   # noqa: BLE001
             log(f"stage {name} FAILED: {type(e).__name__}: {e}")
 
+    if "C" not in wanted:
+        log("runner done")
+        return 0
     log("stage C: full bench")
     try:
         import bench

@@ -241,8 +241,13 @@ def _run_grouped(params, xext, d0, n_max, K, groups):
         lambda: _shift_origin(xext, d0, M + 2),
     )
     interp = jax.default_backend() != "tpu"
+    # bf16x3 split: 3 MXU passes instead of HIGHEST's 6 at ~2^-16 relative
+    # — measured 109.5 Gsps (~roofline) vs 31.8 Gsps on the v5e headline.
+    # f64 keeps HIGHEST (the split targets f32 pipelines).
+    tp = K.dtype == jnp.float32
     run = lambda xv: rational_supercycle_grouped(  # noqa: E731
-        xv, K, g * L, g * M, n_max, groups, interpret=interp)
+        xv, K, g * L, g * M, n_max, groups, interpret=interp,
+        three_pass=tp)
     if xs.ndim == 1:
         return run(xs)
     lead = xs.shape[:-1]
@@ -376,8 +381,24 @@ def _decimator(params: FIRDecimator, state, x, path):
 def _rational(params: FIRRational, state, x, path):
     L, M, T = params.interpolation, params.decimation, params.taps_per_phi
     xlen = x.shape[-1]
-    xext = _extend(state.history, x)
     n_max = idx.max_outputs(params, xlen)
+    true_end = params.history_len + xlen
+    if path == "pallas" and _rational_groups(params) is not None:
+        # single fused concat [history, x, kernel tail padding]: the
+        # grouped kernel's own jnp.pad then no-ops, saving a full extra
+        # read+write pass over the stream (measurable: the copy costs as
+        # much as the kernel itself at roofline)
+        from .pallas.rational2 import padded_need
+
+        g = params.sc_group
+        need = padded_need(g * L, g * M, n_max)
+        pad = max(0, need - true_end)
+        zshape = (*x.shape[:-1], pad)
+        xext = jnp.concatenate(
+            [state.history.astype(x.dtype), x,
+             jnp.zeros(zshape, x.dtype)], axis=-1)
+    else:
+        xext = _extend(state.history, x)
     count, phi_next, d0_next = idx.rational_carry(
         L, M, state.phase, state.deficit, xlen)
     dt = _out_dtype(params, x)
@@ -389,8 +410,9 @@ def _rational(params: FIRRational, state, x, path):
         W = _gather_windows(xext, inp - 1, T)
         taps = jnp.take(params.pfb.T, phi, axis=0, mode="clip")
         y = _row_contract(W, taps.astype(dt)).astype(dt)
-    new_state = FilterState(history=_new_history(xext, params.history_len),
-                            phase=phi_next, deficit=d0_next)
+    hist = lax.slice_in_dim(xext, true_end - params.history_len, true_end,
+                            axis=-1)
+    new_state = FilterState(history=hist, phase=phi_next, deficit=d0_next)
     return y, count, new_state
 
 

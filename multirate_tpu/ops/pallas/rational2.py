@@ -34,7 +34,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rational_supercycle_grouped", "band_groups"]
+__all__ = ["rational_supercycle_grouped", "band_groups", "padded_need",
+           "default_jt"]
+
+
+def default_jt(L: int, M: int, n_out: int) -> int:
+    """The kernel's default tile rows (kept in sync with
+    rational_supercycle_grouped's JT selection)."""
+    JT2 = 8
+    JT = max(JT2, min(512, 131072 // M))
+    JT = -(-JT // JT2) * JT2
+    return min(JT, -(- -(-n_out // L) // JT2) * JT2)
+
+
+def padded_need(L: int, M: int, n_out: int, JT: int | None = None) -> int:
+    """Input samples the kernel will touch (callers may pre-pad xext to
+    this length with a single fused concat so the kernel's own jnp.pad
+    becomes a free no-op slice)."""
+    JT2 = 8
+    if JT is None:
+        JT = default_jt(L, M, n_out)
+    num_tiles = -(- -(-n_out // L) // JT)
+    return (num_tiles * JT + JT2) * M
 
 
 def band_groups(T: int, L: int, M: int, group: int,

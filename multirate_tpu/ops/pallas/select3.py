@@ -151,6 +151,17 @@ def _prep_indices(geo, nphi, delta_fx, u0, farrow):
     return packed, rb
 
 
+def _sub_slice(xh, xl, rb, RQS):
+    """Rows [rb, rb+RQS) of the hi/lo x blocks. Mosaic has no
+    dynamic_slice lowering; a dynamic sublane rotate + static slice is
+    equivalent (rolled[i] = x[(i + rb) mod n])."""
+    n = xh.shape[0]
+    shift = jnp.int32(n) - rb
+    xs_h = pltpu.roll(xh, shift, axis=0)[0:RQS]
+    xs_l = pltpu.roll(xl, shift, axis=0)[0:RQS]
+    return xs_h, xs_l
+
+
 def _window(pk, xs_h, xs_l, iota_r, iota_l):
     """W[n, i] = x[q_sub[n] + i] for i in [0, 128) from the sub-tile slice."""
     q_sub = jax.lax.bitwise_and(pk, jnp.int32((1 << _Q_BITS) - 1))
@@ -179,8 +190,7 @@ def _k3_arb(pk_ref, rb_ref, xa, xb, banks, o_ref, *, NSUB: int, RQS: int,
     for k in range(NSUB):
         pk = pk_ref[sub, k * _SB:(k + 1) * _SB]
         rb = rb_ref[sub, k]
-        xs_h = jax.lax.dynamic_slice(xh, (rb, jnp.int32(0)), (RQS, _LANES))
-        xs_l = jax.lax.dynamic_slice(xl, (rb, jnp.int32(0)), (RQS, _LANES))
+        xs_h, xs_l = _sub_slice(xh, xl, rb, RQS)
         W = _window(pk, xs_h, xs_l, iota_r, iota_l)
         phi = jax.lax.bitwise_and(
             jax.lax.shift_right_logical(pk, jnp.int32(_Q_BITS)),
@@ -214,8 +224,7 @@ def _k3_farrow(pk_ref, rb_ref, xa, xb, coeffs, o_ref, *, NSUB: int,
     for k in range(NSUB):
         pk = pk_ref[sub, k * _SB:(k + 1) * _SB]
         rb = rb_ref[sub, k]
-        xs_h = jax.lax.dynamic_slice(xh, (rb, jnp.int32(0)), (RQS, _LANES))
-        xs_l = jax.lax.dynamic_slice(xl, (rb, jnp.int32(0)), (RQS, _LANES))
+        xs_h, xs_l = _sub_slice(xh, xl, rb, RQS)
         W = _window(pk, xs_h, xs_l, iota_r, iota_l)
         # psi = 1 + 21-bit fraction * nphi, in [1, nphi + 1)
         u21 = jax.lax.shift_right_logical(pk, jnp.int32(_Q_BITS))
