@@ -230,16 +230,23 @@ def _grouped_k(params, phi0, d0, dt):
 
 
 def _run_grouped(params, xext, d0, n_max, K, groups):
-    """Deficit-shift the data, then run the grouped kernel (vmapped over
-    leading channel dims)."""
+    """Run the grouped kernel (vmapped over leading channel dims), folding
+    the streaming deficit into the data as cheaply as the geometry allows:
+    in-kernel dynamic lane roll when the max shift fits one gM row (free),
+    else a caller-side dynamic-slice pass."""
     from .pallas.rational2 import rational_supercycle_grouped
 
     _, L, M, g = _band_geometry(params)
-    xs = lax.cond(
-        d0 == 1,
-        lambda: xext,
-        lambda: _shift_origin(xext, d0, M + 2),
-    )
+    in_kernel_shift = (M + 2) <= g * M
+    if in_kernel_shift:
+        xs, shift = xext, (d0 - 1).astype(jnp.int32)
+    else:
+        shift = None
+        xs = lax.cond(
+            d0 == 1,
+            lambda: xext,
+            lambda: _shift_origin(xext, d0, M + 2),
+        )
     interp = jax.default_backend() != "tpu"
     # bf16x3 split: 3 MXU passes instead of HIGHEST's 6 at ~2^-16 relative
     # — measured 109.5 Gsps (~roofline) vs 31.8 Gsps on the v5e headline.
@@ -247,7 +254,7 @@ def _run_grouped(params, xext, d0, n_max, K, groups):
     tp = K.dtype == jnp.float32
     run = lambda xv: rational_supercycle_grouped(  # noqa: E731
         xv, K, g * L, g * M, n_max, groups, interpret=interp,
-        three_pass=tp)
+        three_pass=tp, shift=shift)
     if xs.ndim == 1:
         return run(xs)
     lead = xs.shape[:-1]

@@ -83,8 +83,8 @@ def band_groups(T: int, L: int, M: int, group: int,
     return tuple(groups)
 
 
-def _kernel(x_a, x_b, *rest, JT: int, gM: int, groups: tuple,
-            three_pass: bool):
+def _kernel(*refs, JT: int, gM: int, groups: tuple,
+            three_pass: bool, with_shift: bool):
     # xcat row r holds x[r*gM : (r+1)*gM]; for group band start b8:
     # xg[j, m] = x[j*gM + b8 + m] assembled from two static lane rolls
     # (the in-row part and the next-row spill).
@@ -92,6 +92,10 @@ def _kernel(x_a, x_b, *rest, JT: int, gM: int, groups: tuple,
     # three_pass: HIGHEST costs 6 bf16 MXU passes. The manual bf16x3
     # split (x = hi + lo, K pre-split on host) costs 3 passes at ~2^-16
     # relative error — well inside the 1e-4 budget (ops/precision.py).
+    if with_shift:
+        s_ref, x_a, x_b, *rest = refs
+    else:
+        x_a, x_b, *rest = refs
     if three_pass:
         kh_ref, kl_ref, o_ref = rest
     else:
@@ -99,6 +103,16 @@ def _kernel(x_a, x_b, *rest, JT: int, gM: int, groups: tuple,
     xcat = jnp.concatenate([x_a[:], x_b[:]], axis=0)       # (JT+JT2, gM)
     total = xcat.shape[0]
     lanes_iota = jax.lax.broadcasted_iota(jnp.int32, xcat.shape, 1)
+    if with_shift:
+        # Fold the streaming deficit into the data HERE (a dynamic lane
+        # roll over VMEM tiles) instead of a caller-side lax.cond
+        # dynamic-slice, which costs a full extra read+write pass over
+        # the stream in HBM: shifted[r, m] = xcat-flat[r*gM + m + sh].
+        sh = s_ref[0]                                      # 0 <= sh < gM
+        a = pltpu.roll(xcat, jnp.int32(gM) - sh, axis=1)
+        nxt = pltpu.roll(xcat, jnp.int32(total - 1), axis=0)
+        b = pltpu.roll(nxt, jnp.int32(gM) - sh, axis=1)
+        xcat = jnp.where(lanes_iota < jnp.int32(gM) - sh, a, b)
     xnext = None
     f32 = jnp.float32
     for (c0, c1, b8, span) in groups:
@@ -136,12 +150,16 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
                                 JT: int | None = None,
                                 interpret: bool = False,
                                 use_grid: bool = True,
-                                three_pass: bool = False):
+                                three_pass: bool = False,
+                                shift=None):
     """Grouped-band variant of rational_supercycle_pallas.
 
-    ``x`` must start at the stream origin with the deficit ALREADY folded
-    into the data (x[d0-1:] slicing by the caller). L/M here are the
-    effective grouped values (g*L, g*M); K is (U, L) from
+    ``x`` must start at the stream origin. The streaming deficit is folded
+    in either by the caller (slice x[d0-1:], ``shift=None``) or — far
+    cheaper — IN-KERNEL via ``shift`` = d0-1 (a traced int32 scalar,
+    must satisfy 0 <= shift < gM): a dynamic VMEM lane-roll per tile
+    replaces a full HBM read+write pass. L/M here are the effective
+    grouped values (g*L, g*M); K is (U, L) from
     build_k_matrix/_select_k (its M-row deficit headroom is unused here).
     """
     U = K.shape[0]
@@ -171,8 +189,14 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
         k_args = (K,)
         k_specs = [pl.BlockSpec((U, L), lambda j: (j * 0, j * 0),
                                 memory_space=pltpu.VMEM)]
+    with_shift = shift is not None
+    if with_shift:
+        s_args = (jnp.asarray(shift, jnp.int32).reshape(1),)
+        s_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    else:
+        s_args, s_specs = (), []
     kern = functools.partial(_kernel, JT=JT, gM=M, groups=groups,
-                             three_pass=three_pass)
+                             three_pass=three_pass, with_shift=with_shift)
 
     if use_grid:
         # Multi-tile grid (DMA/compute pipelining). Cold compiles of this
@@ -184,6 +208,7 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
             out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), x.dtype),
             grid=(num_tiles,),
             in_specs=[
+                *s_specs,
                 pl.BlockSpec((JT, M), lambda j: (j, j * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((JT2, M), lambda j: ((j + 1) * ratio, j * 0),
@@ -193,7 +218,7 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
             out_specs=pl.BlockSpec((JT, L), lambda j: (j, j * 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(x2d, x2d, *k_args)
+        )(*s_args, x2d, x2d, *k_args)
         return out.reshape(num_tiles * JT * L)[:n_out]
 
     # One single-grid pallas call per tile, with CONSTANT block offsets in
@@ -206,6 +231,7 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
             out_shape=jax.ShapeDtypeStruct((JT, L), x.dtype),
             grid=(1,),
             in_specs=[
+                *s_specs,
                 pl.BlockSpec((JT, M), lambda j, _t=t: (j * 0 + _t, j * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((JT2, M),
@@ -217,7 +243,7 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
             out_specs=pl.BlockSpec((JT, L), lambda j: (j * 0, j * 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(x2d, x2d, *k_args)
+        )(*s_args, x2d, x2d, *k_args)
         tiles.append(out_t)
     out = tiles[0] if num_tiles == 1 else jnp.concatenate(tiles, axis=0)
     return out.reshape(num_tiles * JT * L)[:n_out]
