@@ -229,24 +229,27 @@ def _grouped_k(params, phi0, d0, dt):
     )
 
 
+def _max_deficit(L: int, M: int) -> int:
+    """Inclusive bound on the streaming deficit shift d0-1.
+
+    From rational_carry: d0' = in_count - xlen where in_n advances by at
+    most ceil(M/L) per output, so d0' - 1 <= ceil(M/L) (induction from
+    the fresh-stream d0=1). +1 safety margin; asserted by the
+    sequential-replay tests."""
+    return -(-M // L) + 1
+
+
 def _run_grouped(params, xext, d0, n_max, K, groups):
-    """Run the grouped kernel (vmapped over leading channel dims), folding
-    the streaming deficit into the data as cheaply as the geometry allows:
-    in-kernel dynamic lane roll when the max shift fits one gM row (free),
-    else a caller-side dynamic-slice pass."""
+    """Run the grouped kernel (vmapped over leading channel dims). The
+    streaming deficit is folded into K — roll K down d0-1 rows (into its
+    zero-row headroom; groups are built with matching shift_slack) — so
+    the DATA is consumed in place: no extra HBM pass, and no in-kernel
+    dynamic lane rotate (unsupported by Mosaic for non-128-multiple row
+    widths)."""
     from .pallas.rational2 import rational_supercycle_grouped
 
     _, L, M, g = _band_geometry(params)
-    in_kernel_shift = (M + 2) <= g * M
-    if in_kernel_shift:
-        xs, shift = xext, (d0 - 1).astype(jnp.int32)
-    else:
-        shift = None
-        xs = lax.cond(
-            d0 == 1,
-            lambda: xext,
-            lambda: _shift_origin(xext, d0, M + 2),
-        )
+    K = jnp.roll(K, d0 - 1, axis=0)
     interp = jax.default_backend() != "tpu"
     # bf16x3 split: 3 MXU passes instead of HIGHEST's 6 at ~2^-16 relative
     # — measured 109.5 Gsps (~roofline) vs 31.8 Gsps on the v5e headline.
@@ -254,11 +257,12 @@ def _run_grouped(params, xext, d0, n_max, K, groups):
     tp = K.dtype == jnp.float32
     run = lambda xv: rational_supercycle_grouped(  # noqa: E731
         xv, K, g * L, g * M, n_max, groups, interpret=interp,
-        three_pass=tp, shift=shift)
-    if xs.ndim == 1:
-        return run(xs)
-    lead = xs.shape[:-1]
-    return jax.vmap(run)(xs.reshape(-1, xs.shape[-1])).reshape(*lead, n_max)
+        three_pass=tp)
+    if xext.ndim == 1:
+        return run(xext)
+    lead = xext.shape[:-1]
+    return jax.vmap(run)(xext.reshape(-1, xext.shape[-1])
+                         ).reshape(*lead, n_max)
 
 
 def _rational_groups(params):
@@ -267,8 +271,9 @@ def _rational_groups(params):
 
     if not isinstance(params, FIRRational):
         return None
-    return band_groups(params.taps_per_phi, params.interpolation,
-                       params.decimation, params.sc_group)
+    L, M = params.interpolation, params.decimation
+    return band_groups(params.taps_per_phi, L, M, params.sc_group,
+                       shift_slack=_max_deficit(L, M))
 
 
 def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):

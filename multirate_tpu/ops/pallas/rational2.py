@@ -59,14 +59,20 @@ def padded_need(L: int, M: int, n_out: int, JT: int | None = None) -> int:
 
 
 def band_groups(T: int, L: int, M: int, group: int,
-                cols_per_group: int = 128):
+                cols_per_group: int = 128, shift_slack: int = 0):
     """Static (col0, col1, b8, span) for each output-column group.
 
     Column c = r_g*L + r has fresh-stream band start off_c = r_g*M +
     (r*M)//L; entry phase phi0 in [1, L] shifts it by at most +1 row.
     b8 is the group's 8-aligned minimum band row; span covers through the
-    slack-padded band end, 8-rounded. Returns None if any group span
-    exceeds group*M (kernel inapplicable: use the dense v1 kernel).
+    slack-padded band end, 8-rounded. ``shift_slack`` widens every span
+    by that many rows so the caller may fold a dynamic streaming-deficit
+    shift into K (roll K down by d0-1 <= shift_slack rows) instead of
+    shifting the data — Mosaic has no dynamic lane rotate for unaligned
+    (non-128-multiple) row widths, and a caller-side data shift costs a
+    full extra HBM pass. Returns None if any group span exceeds
+    2*group*M - b8 (the one-spill-row assembly limit; fall back to the
+    dense v1 kernel).
     """
     gL, gM = group * L, group * M
     c = np.arange(gL)
@@ -75,74 +81,61 @@ def band_groups(T: int, L: int, M: int, group: int,
     for c0 in range(0, gL, cols_per_group):
         c1 = min(c0 + cols_per_group, gL)
         b8 = (int(off[c0:c1].min()) // 8) * 8
-        hi = int(off[c0:c1].max()) + 1 + T     # +1 phi0 slack
+        hi = int(off[c0:c1].max()) + 1 + T + shift_slack
         span = -(-(hi - b8) // 8) * 8
-        if span > gM:
+        if b8 + span > 2 * gM:
             return None
         groups.append((c0, c1, b8, span))
     return tuple(groups)
 
 
-def _kernel(*refs, JT: int, gM: int, groups: tuple,
-            three_pass: bool, with_shift: bool):
+def _kernel(x_a, x_b, *rest, JT: int, gM: int, groups: tuple,
+            three_pass: bool):
     # xcat row r holds x[r*gM : (r+1)*gM]; for group band start b8:
-    # xg[j, m] = x[j*gM + b8 + m] assembled from two static lane rolls
-    # (the in-row part and the next-row spill).
+    # xs[j, m] = x[j*gM + b8 + m] assembled by one static lane roll.
+    # Bands spilling past the row boundary (b8 + span > gM) are handled
+    # by SUMMING two partial matmuls (in-row part + next-row part) —
+    # Mosaic has no lane-axis concat with mismatched offsets.
     #
     # three_pass: HIGHEST costs 6 bf16 MXU passes. The manual bf16x3
     # split (x = hi + lo, K pre-split on host) costs 3 passes at ~2^-16
     # relative error — well inside the 1e-4 budget (ops/precision.py).
-    if with_shift:
-        s_ref, x_a, x_b, *rest = refs
-    else:
-        x_a, x_b, *rest = refs
     if three_pass:
         kh_ref, kl_ref, o_ref = rest
     else:
         (k_ref, o_ref) = rest
     xcat = jnp.concatenate([x_a[:], x_b[:]], axis=0)       # (JT+JT2, gM)
     total = xcat.shape[0]
-    lanes_iota = jax.lax.broadcasted_iota(jnp.int32, xcat.shape, 1)
-    if with_shift:
-        # Fold the streaming deficit into the data HERE (a dynamic lane
-        # roll over VMEM tiles) instead of a caller-side lax.cond
-        # dynamic-slice, which costs a full extra read+write pass over
-        # the stream in HBM: shifted[r, m] = xcat-flat[r*gM + m + sh].
-        sh = s_ref[0]                                      # 0 <= sh < gM
-        a = pltpu.roll(xcat, jnp.int32(gM) - sh, axis=1)
-        nxt = pltpu.roll(xcat, jnp.int32(total - 1), axis=0)
-        b = pltpu.roll(nxt, jnp.int32(gM) - sh, axis=1)
-        xcat = jnp.where(lanes_iota < jnp.int32(gM) - sh, a, b)
-    xnext = None
     f32 = jnp.float32
-    for (c0, c1, b8, span) in groups:
-        if b8 == 0:
-            xg = xcat
-        else:
-            r1 = pltpu.roll(xcat, jnp.int32(gM - b8), axis=1)
-            if b8 + span <= gM:
-                # no element past the row boundary is read within [:span]
-                xg = r1
-            else:
-                if xnext is None:
-                    xnext = pltpu.roll(xcat, jnp.int32(total - 1), axis=0)
-                r2 = pltpu.roll(xnext, jnp.int32(gM - b8), axis=1)
-                xg = jnp.where(lanes_iota < jnp.int32(gM - b8), r1, r2)
-        xs = xg[:JT, :span]
+
+    def mm(xs, r0, r1_, c0, c1):
+        """xs @ K[r0:r1_, c0:c1] at the configured precision."""
         if three_pass:
             xh16 = xs.astype(jnp.bfloat16)
             xl16 = (xs - xh16.astype(f32)).astype(jnp.bfloat16)
-            kh = kh_ref[b8: b8 + span, c0:c1]
-            kl = kl_ref[b8: b8 + span, c0:c1]
+            kh = kh_ref[r0:r1_, c0:c1]
+            kl = kl_ref[r0:r1_, c0:c1]
             acc = jnp.dot(xh16, kh, preferred_element_type=f32)
             acc = acc + jnp.dot(xh16, kl, preferred_element_type=f32)
             acc = acc + jnp.dot(xl16, kh, preferred_element_type=f32)
-            acc = acc.astype(x_a.dtype)
+            return acc
+        return jnp.dot(xs, rest[0][r0:r1_, c0:c1],
+                       preferred_element_type=x_a.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    xnext = None
+    for (c0, c1, b8, span) in groups:
+        r1 = (xcat if b8 == 0
+              else pltpu.roll(xcat, jnp.int32(gM - b8), axis=1))
+        if b8 + span <= gM:
+            acc = mm(r1[:JT, :span], b8, b8 + span, c0, c1)
         else:
-            acc = jnp.dot(xs, rest[0][b8: b8 + span, c0:c1],
-                          preferred_element_type=x_a.dtype,
-                          precision=jax.lax.Precision.HIGHEST)
-        o_ref[:, c0:c1] = acc
+            p1 = gM - b8
+            if xnext is None:
+                xnext = pltpu.roll(xcat, jnp.int32(total - 1), axis=0)
+            acc = (mm(r1[:JT, :p1], b8, gM, c0, c1)
+                   + mm(xnext[:JT, :span - p1], gM, b8 + span, c0, c1))
+        o_ref[:, c0:c1] = acc.astype(x_a.dtype)
 
 
 def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
@@ -150,22 +143,24 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
                                 JT: int | None = None,
                                 interpret: bool = False,
                                 use_grid: bool = True,
-                                three_pass: bool = False,
-                                shift=None):
+                                three_pass: bool = False):
     """Grouped-band variant of rational_supercycle_pallas.
 
     ``x`` must start at the stream origin. The streaming deficit is folded
-    in either by the caller (slice x[d0-1:], ``shift=None``) or — far
-    cheaper — IN-KERNEL via ``shift`` = d0-1 (a traced int32 scalar,
-    must satisfy 0 <= shift < gM): a dynamic VMEM lane-roll per tile
-    replaces a full HBM read+write pass. L/M here are the effective
-    grouped values (g*L, g*M); K is (U, L) from
-    build_k_matrix/_select_k (its M-row deficit headroom is unused here).
+    in either by the caller slicing the data (x[d0-1:]) or — far cheaper —
+    by ROLLING K down d0-1 rows (jnp.roll(K, d0-1, axis=0), using K's
+    zero-row headroom) with ``groups`` built with shift_slack >= the max
+    deficit: no data movement at all. L/M here are the effective grouped
+    values (g*L, g*M); K is (U, L) from build_k_matrix/_select_k.
     """
     U = K.shape[0]
-    for (_, _, b8, span) in groups:
-        if b8 + span > U:
-            raise ValueError("group span exceeds K rows")
+    need_u = max(b8 + span for (_, _, b8, span) in groups)
+    if need_u > U:
+        # 8-rounding + shift slack can push a group's span a few rows past
+        # K; pad with zero rows (K is tiny)
+        K = jnp.concatenate(
+            [K, jnp.zeros((need_u - U, K.shape[1]), K.dtype)], axis=0)
+        U = need_u
     JT2 = 8     # only the next row is ever touched (span <= gM)
     J_total = -(-n_out // L)
     if JT is None:
@@ -189,14 +184,8 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
         k_args = (K,)
         k_specs = [pl.BlockSpec((U, L), lambda j: (j * 0, j * 0),
                                 memory_space=pltpu.VMEM)]
-    with_shift = shift is not None
-    if with_shift:
-        s_args = (jnp.asarray(shift, jnp.int32).reshape(1),)
-        s_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    else:
-        s_args, s_specs = (), []
     kern = functools.partial(_kernel, JT=JT, gM=M, groups=groups,
-                             three_pass=three_pass, with_shift=with_shift)
+                             three_pass=three_pass)
 
     if use_grid:
         # Multi-tile grid (DMA/compute pipelining). Cold compiles of this
@@ -208,7 +197,6 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
             out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), x.dtype),
             grid=(num_tiles,),
             in_specs=[
-                *s_specs,
                 pl.BlockSpec((JT, M), lambda j: (j, j * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((JT2, M), lambda j: ((j + 1) * ratio, j * 0),
@@ -218,7 +206,7 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
             out_specs=pl.BlockSpec((JT, L), lambda j: (j, j * 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(*s_args, x2d, x2d, *k_args)
+        )(x2d, x2d, *k_args)
         return out.reshape(num_tiles * JT * L)[:n_out]
 
     # One single-grid pallas call per tile, with CONSTANT block offsets in
@@ -231,7 +219,6 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
             out_shape=jax.ShapeDtypeStruct((JT, L), x.dtype),
             grid=(1,),
             in_specs=[
-                *s_specs,
                 pl.BlockSpec((JT, M), lambda j, _t=t: (j * 0 + _t, j * 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((JT2, M),
@@ -243,7 +230,7 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
             out_specs=pl.BlockSpec((JT, L), lambda j: (j * 0, j * 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(*s_args, x2d, x2d, *k_args)
+        )(x2d, x2d, *k_args)
         tiles.append(out_t)
     out = tiles[0] if num_tiles == 1 else jnp.concatenate(tiles, axis=0)
     return out.reshape(num_tiles * JT * L)[:n_out]

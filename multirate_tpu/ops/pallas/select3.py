@@ -151,15 +151,16 @@ def _prep_indices(geo, nphi, delta_fx, u0, farrow):
     return packed, rb
 
 
-def _sub_slice(xh, xl, rb, RQS):
-    """Rows [rb, rb+RQS) of the hi/lo x blocks. Mosaic has no
-    dynamic_slice lowering; a dynamic sublane rotate + static slice is
-    equivalent (rolled[i] = x[(i + rb) mod n])."""
-    n = xh.shape[0]
+def _sub_slice(xcat, rb, RQS):
+    """Rows [rb, rb+RQS) of the f32 x block, split hi/lo AFTER slicing.
+    Mosaic has no dynamic_slice lowering and its dynamic rotate supports
+    only 32-bit data (so roll f32, not the bf16 halves); a dynamic
+    sublane rotate + static slice is equivalent
+    (rolled[i] = x[(i + rb) mod n])."""
+    n = xcat.shape[0]
     shift = jnp.int32(n) - rb
-    xs_h = pltpu.roll(xh, shift, axis=0)[0:RQS]
-    xs_l = pltpu.roll(xl, shift, axis=0)[0:RQS]
-    return xs_h, xs_l
+    xs = pltpu.roll(xcat, shift, axis=0)[0:RQS]
+    return _split16(xs)
 
 
 def _window(pk, xs_h, xs_l, iota_r, iota_l):
@@ -182,7 +183,6 @@ def _k3_arb(pk_ref, rb_ref, xa, xb, banks, o_ref, *, NSUB: int, RQS: int,
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
     f32 = jnp.float32
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)       # (2*XR, 128)
-    xh, xl = _split16(xcat)
     dual = T > 64     # dual-row bank layout (packed fits only T <= 64)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (_SB, _LANES), 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (_SB, RQS), 1)
@@ -190,7 +190,7 @@ def _k3_arb(pk_ref, rb_ref, xa, xb, banks, o_ref, *, NSUB: int, RQS: int,
     for k in range(NSUB):
         pk = pk_ref[sub, k * _SB:(k + 1) * _SB]
         rb = rb_ref[sub, k]
-        xs_h, xs_l = _sub_slice(xh, xl, rb, RQS)
+        xs_h, xs_l = _sub_slice(xcat, rb, RQS)
         W = _window(pk, xs_h, xs_l, iota_r, iota_l)
         phi = jax.lax.bitwise_and(
             jax.lax.shift_right_logical(pk, jnp.int32(_Q_BITS)),
@@ -216,7 +216,6 @@ def _k3_farrow(pk_ref, rb_ref, xa, xb, coeffs, o_ref, *, NSUB: int,
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
     f32 = jnp.float32
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)
-    xh, xl = _split16(xcat)
     ch = coeffs[0:P1, :]
     cl = coeffs[P1:2 * P1, :]
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (_SB, _LANES), 1)
@@ -224,7 +223,7 @@ def _k3_farrow(pk_ref, rb_ref, xa, xb, coeffs, o_ref, *, NSUB: int,
     for k in range(NSUB):
         pk = pk_ref[sub, k * _SB:(k + 1) * _SB]
         rb = rb_ref[sub, k]
-        xs_h, xs_l = _sub_slice(xh, xl, rb, RQS)
+        xs_h, xs_l = _sub_slice(xcat, rb, RQS)
         W = _window(pk, xs_h, xs_l, iota_r, iota_l)
         # psi = 1 + 21-bit fraction * nphi, in [1, nphi + 1)
         u21 = jax.lax.shift_right_logical(pk, jnp.int32(_Q_BITS))

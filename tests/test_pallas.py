@@ -34,12 +34,14 @@ def test_pallas_path_stateless_and_streaming(rng):
     r = Fraction(11, 4)
     ref = np.asarray(mr.filt(h, x, r, path="supercycle"))
     y = np.asarray(mr.filt(h, x, r, path="pallas"))
-    assert np.abs(y - ref).max() < 1e-5
+    # pallas path uses the bf16x3 three-pass split (~2^-16 relative,
+    # ops/precision.py) — tolerance matches that budget, not f32 exactness
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=1e-4)
     f = mr.FIRFilter(h, r, path="pallas")
     parts = [np.asarray(f.filt(x[i:i + 1500])) for i in range(0, 9000, 1500)]
     yc = np.concatenate(parts)
     assert yc.shape == ref.shape
-    assert np.abs(yc - ref).max() < 1e-5
+    np.testing.assert_allclose(yc, ref, rtol=2e-4, atol=1e-4)
 
 
 def test_pallas_batched_channels(rng):
@@ -48,7 +50,7 @@ def test_pallas_batched_channels(rng):
     r = Fraction(7, 5)
     ref = np.asarray(mr.filt(h, x, r, path="supercycle"))
     y = np.asarray(mr.filt(h, x, r, path="pallas"))
-    assert np.abs(y - ref).max() < 1e-5
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=1e-4)
 
 
 def test_build_k_matrix_band_structure():
