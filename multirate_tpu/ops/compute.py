@@ -403,7 +403,8 @@ def _rational(params: FIRRational, state, x, path):
         from .pallas.rational2 import padded_need
 
         g = params.sc_group
-        need = padded_need(g * L, g * M, n_max)
+        need = padded_need(g * L, g * M, n_max,
+                           bf16=x.dtype == jnp.bfloat16)
         pad = max(0, need - true_end)
         zshape = (*x.shape[:-1], pad)
         xext = jnp.concatenate(
@@ -713,8 +714,13 @@ def _auto_path(params, x):
     if taps_dt == jnp.bfloat16 and isinstance(
             params, (FIRStandard, FIRInterpolator, FIRDecimator,
                      FIRRational)):
-        # quantized mode: XLA supercycle (native 1-pass bf16 MXU matmul,
-        # f32 accumulation); pallas bf16 tiles are a round-3 item
+        # quantized mode: bf16 HBM traffic doubles the roofline. Rational
+        # runs the grouped Pallas kernel in bf16 (single-pass MXU matmul,
+        # f32 accumulation); the rest use the XLA supercycle (native
+        # 1-pass bf16 matmul).
+        if (on_tpu and isinstance(params, FIRRational)
+                and _rational_groups(params) is not None):
+            return "pallas"
         return "supercycle"
     if isinstance(params, (FIRStandard, FIRInterpolator, FIRDecimator)):
         if cx_taps:

@@ -38,22 +38,29 @@ __all__ = ["rational_supercycle_grouped", "band_groups", "padded_need",
            "default_jt"]
 
 
-def default_jt(L: int, M: int, n_out: int) -> int:
+def _jt2(bf16: bool) -> int:
+    # only the next row is ever touched (span <= gM); bf16 memory tiles
+    # are (16, 128) so bf16 blocks need 16-sublane granularity
+    return 16 if bf16 else 8
+
+
+def default_jt(L: int, M: int, n_out: int, bf16: bool = False) -> int:
     """The kernel's default tile rows (kept in sync with
     rational_supercycle_grouped's JT selection)."""
-    JT2 = 8
+    JT2 = _jt2(bf16)
     JT = max(JT2, min(512, 131072 // M))
     JT = -(-JT // JT2) * JT2
     return min(JT, -(- -(-n_out // L) // JT2) * JT2)
 
 
-def padded_need(L: int, M: int, n_out: int, JT: int | None = None) -> int:
+def padded_need(L: int, M: int, n_out: int, JT: int | None = None,
+                bf16: bool = False) -> int:
     """Input samples the kernel will touch (callers may pre-pad xext to
     this length with a single fused concat so the kernel's own jnp.pad
     becomes a free no-op slice)."""
-    JT2 = 8
+    JT2 = _jt2(bf16)
     if JT is None:
-        JT = default_jt(L, M, n_out)
+        JT = default_jt(L, M, n_out, bf16)
     num_tiles = -(- -(-n_out // L) // JT)
     return (num_tiles * JT + JT2) * M
 
@@ -104,9 +111,16 @@ def _kernel(x_a, x_b, *rest, JT: int, gM: int, groups: tuple,
         kh_ref, kl_ref, o_ref = rest
     else:
         (k_ref, o_ref) = rest
-    xcat = jnp.concatenate([x_a[:], x_b[:]], axis=0)       # (JT+JT2, gM)
-    total = xcat.shape[0]
     f32 = jnp.float32
+    bf16_in = x_a.dtype == jnp.bfloat16
+    xcat = jnp.concatenate([x_a[:], x_b[:]], axis=0)       # (JT+JT2, gM)
+    if bf16_in:
+        # Mosaic lane rotates operate on 32-bit elements; assemble the
+        # shifted windows in f32 (VMEM only — HBM traffic stays bf16,
+        # which is the whole point of the quantized mode) and drop back
+        # to bf16 for the single-pass MXU matmul.
+        xcat = xcat.astype(f32)
+    total = xcat.shape[0]
 
     def mm(xs, r0, r1_, c0, c1):
         """xs @ K[r0:r1_, c0:c1] at the configured precision."""
@@ -119,7 +133,10 @@ def _kernel(x_a, x_b, *rest, JT: int, gM: int, groups: tuple,
             acc = acc + jnp.dot(xh16, kl, preferred_element_type=f32)
             acc = acc + jnp.dot(xl16, kh, preferred_element_type=f32)
             return acc
-        return jnp.dot(xs, rest[0][r0:r1_, c0:c1],
+        if bf16_in:
+            return jnp.dot(xs.astype(jnp.bfloat16), k_ref[r0:r1_, c0:c1],
+                           preferred_element_type=f32)
+        return jnp.dot(xs, k_ref[r0:r1_, c0:c1],
                        preferred_element_type=x_a.dtype,
                        precision=jax.lax.Precision.HIGHEST)
 
@@ -161,12 +178,10 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
         K = jnp.concatenate(
             [K, jnp.zeros((need_u - U, K.shape[1]), K.dtype)], axis=0)
         U = need_u
-    JT2 = 8     # only the next row is ever touched (span <= gM)
+    JT2 = _jt2(x.dtype == jnp.bfloat16)
     J_total = -(-n_out // L)
     if JT is None:
-        JT = max(JT2, min(512, 131072 // M))
-        JT = -(-JT // JT2) * JT2
-        JT = min(JT, -(-J_total // JT2) * JT2)
+        JT = default_jt(L, M, n_out, x.dtype == jnp.bfloat16)
     num_tiles = -(-J_total // JT)
     need = (num_tiles * JT + JT2) * M
     x_pad = jnp.pad(x, (0, max(0, need - x.shape[0])))[:need]

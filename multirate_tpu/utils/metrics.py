@@ -82,11 +82,14 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
                              max_extra: int = 20000) -> float:
     """Per-call seconds of ``filt_block_raw(params, state, x, path)``.
 
-    Times a fully-serialized dependency chain (every input element of
-    iteration i+1 depends on iteration i's output — a scalar-into-one-element
-    dependency would let XLA overlap tiles across iterations and overstate
-    throughput) at two trip counts; returns the slope, so fixed dispatch /
-    relay-RTT costs cancel exactly.
+    Times a serialized dependency chain at two trip counts and returns the
+    slope, so fixed dispatch / relay-RTT costs cancel exactly. Iteration
+    i+1 depends on iteration i two ways: the carried FilterState (the
+    scalar phase/deficit chain feeds the kernels' index math — real
+    streaming behavior) and a single in-place element update of x
+    (xx.at[0].add, which XLA performs in place on the loop carry — no
+    extra HBM pass, unlike a full xx rewrite, which would add an
+    8 MB/iter read+write and cap the measurable roofline at ~50%).
     """
     from functools import partial
 
@@ -99,12 +102,13 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
     @partial(jax.jit, static_argnames=("reps",))
     def many(s, xx, reps):
         def body(i, carry):
-            xx, acc = carry
-            y, _, _ = filt_block_raw(params, s, xx, path)
+            s, xx, acc = carry
+            y, _, s = filt_block_raw(params, s, xx, path)
             last = y[..., -1].ravel()[0]
-            xx = xx * (1.0 + last * 1e-30)
-            return (xx, acc + last)
-        _, acc = lax.fori_loop(0, reps, body, (xx, jnp.zeros((), xx.dtype)))
+            xx = xx.at[..., 0].add(last * 1e-30)
+            return (s, xx, acc + last)
+        _, _, acc = lax.fori_loop(
+            0, reps, body, (s, xx, jnp.zeros((), xx.dtype)))
         return acc
 
     def tmin(reps):

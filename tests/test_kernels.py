@@ -137,6 +137,13 @@ def test_bfloat16_quantized_mode(rng):
         assert yc.shape == got.shape
         ulp = np.abs(got).max() * 2.0 ** -7
         assert np.abs(yc - got).max() <= ulp
+        # the bf16 grouped Pallas kernel (TPU auto path for rational)
+        # matches the XLA supercycle path bit-for-bit in interpret mode
+        if spec == Fraction(147, 160):
+            yp = np.asarray(mr.filt(hb, jnp.asarray(x64, jnp.bfloat16),
+                                    spec, path="pallas"), np.float64)
+            assert yp.shape == got.shape
+            assert np.abs(yp - got).max() <= ulp
 
 
 def test_complex_taps_planar_fast_path(rng):
