@@ -53,12 +53,22 @@ PHASE_ONE = 1 << PHASE_FRAC_BITS
 def _pick_group(L: int, M: int) -> int:
     """Supercycles per matmul row: widen degenerate ratios (small L) so the
     banded-K contraction has ~128+ output columns for the MXU, while keeping
-    the row input span group*M bounded. For already-wide L a second
-    supercycle per row reduces the 128-lane padding waste of the output
-    columns (measured +30% on the 147//160 headline on v5e)."""
-    g = max(1, -(-128 // L))
-    if g == 1:
-        g = 2
+    the row input span group*M bounded.
+
+    Critically, prefer the smallest group with group*M a multiple of 128:
+    the kernels tile the stream as (rows, group*M) and a non-128-multiple
+    row width costs a relayout copy on entry plus lane-padding on every
+    HBM read. Measured on the v5e 147//160 headline: group 4 (rows of 640
+    lanes) runs the grouped kernel at ~97 Gsps vs ~50 Gsps for group 2
+    (rows of 320 lanes)."""
+    import math
+
+    base = max(2, -(-128 // L))
+    step = 128 // math.gcd(M, 128)  # smallest g with (g*M) % 128 == 0
+    g = -(-base // step) * step
+    if g * M <= 8192:
+        return g
+    g = base
     while g > 1 and g * M > 8192:
         g //= 2
     return g

@@ -49,7 +49,7 @@ def make_mesh(n_ch: int = 1, n_t: int | None = None, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_t is None:
         n_t = devices.size // n_ch
-    return Mesh(devices.reshape(n_ch, n_t), ("ch", "t"))
+    return Mesh(devices[: n_ch * n_t].reshape(n_ch, n_t), ("ch", "t"))
 
 
 def _entry_state(params, phase0, deficit0, start):

@@ -34,14 +34,15 @@ def test_pallas_path_stateless_and_streaming(rng):
     r = Fraction(11, 4)
     ref = np.asarray(mr.filt(h, x, r, path="supercycle"))
     y = np.asarray(mr.filt(h, x, r, path="pallas"))
-    # pallas path uses the bf16x3 three-pass split (~2^-16 relative,
-    # ops/precision.py) — tolerance matches that budget, not f32 exactness
-    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=1e-4)
+    # Both paths use bf16x3 splits (~2^-16/product, ops/precision.py) but
+    # with different grouping/summation order; the accumulated difference
+    # bound for 352 taps on N(0,1) data is ~sqrt(352)*2^-16 ~= 3e-4.
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=3e-4)
     f = mr.FIRFilter(h, r, path="pallas")
     parts = [np.asarray(f.filt(x[i:i + 1500])) for i in range(0, 9000, 1500)]
     yc = np.concatenate(parts)
     assert yc.shape == ref.shape
-    np.testing.assert_allclose(yc, ref, rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(yc, ref, rtol=2e-4, atol=3e-4)
 
 
 def test_pallas_batched_channels(rng):
