@@ -34,6 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import precision as prec
+
 __all__ = ["rational_supercycle_grouped", "band_groups", "padded_need",
            "default_jt"]
 
@@ -125,8 +127,7 @@ def _kernel(x_a, x_b, *rest, JT: int, gM: int, groups: tuple,
     def mm(xs, r0, r1_, c0, c1):
         """xs @ K[r0:r1_, c0:c1] at the configured precision."""
         if three_pass:
-            xh16 = xs.astype(jnp.bfloat16)
-            xl16 = (xs - xh16.astype(f32)).astype(jnp.bfloat16)
+            xh16, xl16 = prec.split_bf16(xs)
             kh = kh_ref[r0:r1_, c0:c1]
             kl = kl_ref[r0:r1_, c0:c1]
             acc = jnp.dot(xh16, kh, preferred_element_type=f32)
@@ -189,9 +190,10 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
     ratio = JT // JT2
 
     if three_pass:
-        Kf = K.astype(jnp.float32)
-        K_hi = Kf.astype(jnp.bfloat16)
-        K_lo = (Kf - K_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # split_bf16, NOT the round-based split: K is a dynamic jit value
+        # here and XLA's excess-precision folding zeroes the naive lo term
+        # (ops/precision.py).
+        K_hi, K_lo = prec.split_bf16(K)
         k_args = (K_hi, K_lo)
         k_specs = [pl.BlockSpec((U, L), lambda j: (j * 0, j * 0),
                                 memory_space=pltpu.VMEM)] * 2

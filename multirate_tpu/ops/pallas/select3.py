@@ -62,10 +62,15 @@ def _lane_gather(A, idx):
 
 
 def _split16(v):
-    """(hi, lo) bf16 pair with hi + lo == v to ~2^-16 relative."""
-    hi = v.astype(jnp.bfloat16)
-    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    """(hi, lo) bf16 pair with hi + lo == v to ~2^-16 relative.
+
+    Delegates to precision.split_bf16: the round-based formulation is
+    folded to lo == 0 by XLA under --xla_allow_excess_precision (see
+    ops/precision.py) — this bit the tap-bank splits below, which run at
+    the XLA level on dynamic param arrays."""
+    from .. import precision as prec
+
+    return prec.split_bf16(v)
 
 
 def _dot2(oh16, xs_h, xs_l):

@@ -66,7 +66,10 @@ def _pick_group(L: int, M: int) -> int:
     base = max(2, -(-128 // L))
     step = 128 // math.gcd(M, 128)  # smallest g with (g*M) % 128 == 0
     g = -(-base // step) * step
-    if g * M <= 8192:
+    # cap output columns too: g*L in the thousands explodes the banded-K
+    # matrix and the kernels' VMEM blocks (arb's interp-geometry L=32 with
+    # the M=1 step of 128 would give 4096 columns -> scoped-vmem OOM)
+    if g * M <= 8192 and g * L <= 1024:
         return g
     g = base
     while g > 1 and g * M > 8192:
