@@ -140,20 +140,25 @@ def _band_geometry(params):
     raise TypeError(type(params))
 
 
-def _build_k_in_graph(params, phi0, d0, dtype):
+def _build_k_in_graph(params, phi0, d0, dtype, origin: int = 0,
+                      rows_total: int | None = None):
     """Banded tap matrix for arbitrary traced entry state, origin-folded:
-    column c = r_g*L + r has band start r_g*M + (phi0-1+r*M)//L + (d0-1)."""
+    column c = r_g*L + r has band start r_g*M + (phi0-1+r*M)//L + (d0-1)
+    + origin. ``origin``/``rows_total`` support the zero-copy K layout
+    (origin = g*M - h_min, see pallas/rational2.build_k_zc_stack)."""
     pfb, L, M, g = _band_geometry(params)
     T = pfb.shape[0]
     c = jnp.arange(g * L, dtype=jnp.int64)
     r = c % L
     r_g = c // L
     t_r = (phi0 - 1) + r * M
-    off = r_g * M + t_r // L + (d0 - 1)
+    off = r_g * M + t_r // L + (d0 - 1) + origin
     rows = off[None, :] + jnp.arange(T, dtype=jnp.int64)[:, None]
     cols = jnp.broadcast_to(c[None, :], (T, g * L))
     vals = jnp.take(pfb, t_r % L, axis=1, mode="clip")
-    return jnp.zeros((g * M + T + M, g * L), dtype=dtype).at[rows, cols].set(
+    if rows_total is None:
+        rows_total = g * M + T + M + origin
+    return jnp.zeros((rows_total, g * L), dtype=dtype).at[rows, cols].set(
         vals.astype(dtype))
 
 
@@ -276,6 +281,64 @@ def _rational_groups(params):
                        shift_slack=_max_deficit(L, M))
 
 
+# --------------------------------------------------------------------------- #
+# Zero-copy rational path (pallas/rational2 v3): no [history ++ x] concat,
+# no per-block K arithmetic — see rational2.py's design comment.
+# --------------------------------------------------------------------------- #
+
+def _zc_plan(params, x, dt, n_max):
+    """Static zero-copy plan (groups, geometry) or None."""
+    from .pallas.rational2 import band_groups_zc, zc_geometry
+
+    if not (isinstance(params, FIRRational) and params.k_zc_hi is not None):
+        return None
+    if x.dtype != jnp.float32 or dt != jnp.float32:
+        return None
+    L, M, g = params.interpolation, params.decimation, params.sc_group
+    groups = band_groups_zc(params.taps_per_phi, L, M, g, params.h_min,
+                            shift_slack=_max_deficit(L, M))
+    if groups is None:
+        return None
+    geo = zc_geometry(g * L, g * M, n_max, x.shape[-1])
+    if geo is None:
+        return None
+    return groups, geo
+
+
+def _run_zc(params, history, phi0, d0, x, n_max, plan):
+    """Zero-copy rational resample: y_padded (..., n_max).
+
+    The ENTIRE streaming entry state (phase, deficit) selects one
+    pre-built compressed K slab — slab (phi0-1)*D + (d0-1) — via scalar
+    prefetch, so the host stacks feed pallas_call directly with zero
+    per-block K arithmetic. (Any per-call K roll/cond/select at the XLA
+    level forces a copy of the stacks that costs as much HBM traffic as
+    the kernel itself.)"""
+    from .pallas.rational2 import rational_supercycle_zc
+
+    _, L, M, g = _band_geometry(params)
+    groups, geo = plan
+    gL, gM = g * L, g * M
+    kh, kl = params.k_zc_hi, params.k_zc_lo
+    D = kh.shape[0] // L
+    dsel = (jnp.clip(phi0 - 1, 0, L - 1) * D
+            + jnp.clip(d0 - 1, 0, D - 1)).astype(jnp.int32)
+    interp = jax.default_backend() != "tpu"
+    xlen = x.shape[-1]
+
+    def run(xv, hv):
+        return rational_supercycle_zc(xv, hv, (kh, kl), dsel, gL, gM,
+                                      n_max, groups, geo,
+                                      three_pass=True, interpret=interp)
+
+    if x.ndim == 1:
+        return run(x, history)
+    lead = x.shape[:-1]
+    return jax.vmap(run)(
+        x.reshape(-1, xlen), history.reshape(-1, history.shape[-1])
+    ).reshape(*lead, n_max)
+
+
 def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):
     _, L, M, g = _band_geometry(params)
     grouped = _rational_groups(params) if path == "pallas" else None
@@ -394,37 +457,54 @@ def _rational(params: FIRRational, state, x, path):
     L, M, T = params.interpolation, params.decimation, params.taps_per_phi
     xlen = x.shape[-1]
     n_max = idx.max_outputs(params, xlen)
-    true_end = params.history_len + xlen
-    if path == "pallas" and _rational_groups(params) is not None:
+    count, phi_next, d0_next = idx.rational_carry(
+        L, M, state.phase, state.deficit, xlen)
+    dt = _out_dtype(params, x)
+    # state.history may be longer than the filter math needs (the zc
+    # kernel keeps ZC_S whole rows); non-zc paths use the trailing h_min
+    hist_min = state.history[..., state.history.shape[-1] - params.h_min:]
+
+    def _grouped_concat_y():
         # single fused concat [history, x, kernel tail padding]: the
         # grouped kernel's own jnp.pad then no-ops, saving a full extra
-        # read+write pass over the stream (measurable: the copy costs as
-        # much as the kernel itself at roofline)
+        # read+write pass over the stream
         from .pallas.rational2 import padded_need
 
         g = params.sc_group
         need = padded_need(g * L, g * M, n_max,
                            bf16=x.dtype == jnp.bfloat16)
+        true_end = params.h_min + xlen
         pad = max(0, need - true_end)
         zshape = (*x.shape[:-1], pad)
         xext = jnp.concatenate(
-            [state.history.astype(x.dtype), x,
+            [hist_min.astype(x.dtype), x,
              jnp.zeros(zshape, x.dtype)], axis=-1)
-    else:
-        xext = _extend(state.history, x)
-    count, phi_next, d0_next = idx.rational_carry(
-        L, M, state.phase, state.deficit, xlen)
-    dt = _out_dtype(params, x)
-    if path in ("supercycle", "pallas"):
+        return _supercycle_dispatch(params, xext, state.phase,
+                                    state.deficit, n_max, dt, path)
+
+    plan = _zc_plan(params, x, dt, n_max) if path == "pallas" else None
+    if plan is not None:
+        y = _run_zc(params, state.history.astype(x.dtype), state.phase,
+                    state.deficit, x, n_max, plan)
+    elif path == "pallas" and _rational_groups(params) is not None:
+        y = _grouped_concat_y()
+    elif path in ("supercycle", "pallas"):
+        xext = _extend(hist_min, x)
         y = _supercycle_dispatch(params, xext, state.phase, state.deficit,
                                  n_max, dt, path)
     else:
+        xext = _extend(hist_min, x)
         inp, phi = idx.rational_indices(L, M, state.phase, state.deficit, n_max)
         W = _gather_windows(xext, inp - 1, T)
         taps = jnp.take(params.pfb.T, phi, axis=0, mode="clip")
         y = _row_contract(W, taps.astype(dt)).astype(dt)
-    hist = lax.slice_in_dim(xext, true_end - params.history_len, true_end,
-                            axis=-1)
+    # new history = trailing history_len of the stream [old history ++ x]
+    H = params.history_len
+    if xlen >= H:
+        hist = x[..., xlen - H:]
+    else:
+        hist = jnp.concatenate(
+            [state.history[..., xlen - H:].astype(x.dtype), x], axis=-1)
     new_state = FilterState(history=hist, phase=phi_next, deficit=d0_next)
     return y, count, new_state
 

@@ -37,7 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import precision as prec
 
 __all__ = ["rational_supercycle_grouped", "band_groups", "padded_need",
-           "default_jt"]
+           "default_jt", "band_groups_zc", "zc_geometry",
+           "rational_zc_main", "build_k_zc_stack", "ZC_S"]
+
+# Zero-copy history depth: the streaming state carries the last S rows
+# (S*gM samples) of the stream, so the kernel reads the new block x IN
+# PLACE (natural (rows, gM) reshape) with no [history ++ x] concat — the
+# concat costs a full extra HBM read+write pass, as much as the kernel
+# itself at roofline. 8 rows = the f32 sublane quantum.
+ZC_S = 8
 
 
 def _jt2(bf16: bool) -> int:
@@ -250,4 +258,278 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
         )(x2d, x2d, *k_args)
         tiles.append(out_t)
     out = tiles[0] if num_tiles == 1 else jnp.concatenate(tiles, axis=0)
+    return out.reshape(num_tiles * JT * L)[:n_out]
+
+
+# --------------------------------------------------------------------------- #
+# Zero-copy entry variant (v3)
+# --------------------------------------------------------------------------- #
+#
+# The grouped kernel above consumes xext = [history ++ x ++ pad] — one full
+# extra HBM read+write to materialize. This variant eliminates every
+# per-block O(N) or O(K) preparation:
+#
+#   - streaming state carries hist = the last ZC_S*gM stream samples
+#     (ZC_S rows); x is reshaped (R, gM) IN PLACE (R = xlen // gM).
+#   - conceptual stream rows: xext_p row u = hist row u (u < S) else
+#     x2d row u - S. Supercycle j's bands live at absolute lane positions
+#     (j + S)*gM + off(c) - h_min (h_min = minimal history, T - 1), i.e.
+#     rows j+S-1 / j+S (+1 spill) of xext_p — assembled per tile from
+#     [first_S, x_a(JT), next_S] with first_S selected between the hist
+#     block (tile 0) and the previous S rows of x2d (program_id select),
+#     via cached static sublane rolls. No data is ever shifted in HBM.
+#   - the deficit d0-1 SELECTS a pre-rolled K slab from a host-built
+#     compressed stack via scalar prefetch — zero per-block K arithmetic
+#     (any per-call K roll/split/cond costs ~as much HBM traffic as the
+#     kernel itself). The stack is compressed to per-group 128-col
+#     stripes: slab (Umax, G*128) holds K[b8_g : b8_g+span_g, c0_g:c1_g]
+#     at rows [0, span_g) of stripe g (~6x smaller than the dense band).
+#   - the last (possibly input-incomplete) tile is computed by a SECOND
+#     single-step pallas call over a tiny assembled tail block (includes
+#     the sub-row remainder of x), writing into the SAME output buffer
+#     via input_output_aliases: no concat, no dynamic-update-slice — so a
+#     consumer reading only a suffix element never forces the full
+#     flat-layout rewrite, while the alias chain keeps the main grid live.
+#
+# Reference semantics preserved: Filters.jl:558-568 recurrence (closed
+# form), deficit/phase carry identical to the grouped path.
+
+
+def band_groups_zc(T: int, L: int, M: int, group: int, h_min: int,
+                   shift_slack: int = 0, cols_per_group: int = 128):
+    """Static (c0, c1, b8, span) groups for the zero-copy kernel.
+
+    b8 is the 8-floored band start in lanes RELATIVE to xcat row r + (S-1)
+    for output row r: band position p(c) = gM + off(c) - h_min (in
+    [gM - h_min, 2*gM)), so b8 in [0, 2*gM) and each group spans at most
+    two consecutive rows (group width ~ cols*M/L + T + slack < gM).
+    Returns None if the geometry is inapplicable (h_min > gM, or a group
+    wider than one row).
+    """
+    gL, gM = group * L, group * M
+    if h_min > gM:
+        return None
+    c = np.arange(gL)
+    off = (c // L) * M + ((c % L) * M) // L
+    p = gM + off - h_min
+    groups = []
+    for c0 in range(0, gL, cols_per_group):
+        c1 = min(c0 + cols_per_group, gL)
+        b8 = (int(p[c0:c1].min()) // 8) * 8
+        hi = int(p[c0:c1].max()) + 1 + T + shift_slack
+        span = -(-(hi - b8) // 8) * 8
+        if span > gM:  # would cross two row boundaries
+            return None
+        groups.append((c0, c1, b8, span))
+    return tuple(groups)
+
+
+def build_k_zc_stack(pfb2d: np.ndarray, L: int, M: int, group: int,
+                     h_min: int, n_deficit: int, groups) -> np.ndarray:
+    """Host-side compressed (L*D, Umax, G*128) float32 stack of zc-layout
+    banded tap matrices: slab (phi0-1)*D + d is pre-built for entry phase
+    phi0 and deficit shift d (= d0 - 1), so the kernel's scalar-prefetch
+    slab index folds the ENTIRE streaming entry state with zero per-block
+    K arithmetic (any per-call K roll/cond/split costs ~as much HBM
+    traffic as the kernel itself). Stripe g holds the dense band rows
+    [b8_g, b8_g + span_g) of column group g at rows [0, span_g), cols
+    [g*128, g*128 + (c1-c0)).
+
+    Column c = r_g*L + r of entry phase phi0 has band start (in lanes
+    relative to supercycle row, zc origin) gM - h_min + d + r_g*M +
+    (phi0-1+r*M)//L with taps pfb[:, (phi0-1+r*M) mod L] — the reference
+    recurrence Filters.jl:558-568 in closed form, tabulated.
+    """
+    pfb2d = np.asarray(pfb2d, np.float32)
+    T = pfb2d.shape[0]
+    gM, gL = group * M, group * L
+    D = n_deficit
+    c = np.arange(gL)
+    r_g, r = c // L, c % L
+    phis = np.arange(1, L + 1)
+    t_r = (phis[:, None] - 1) + r[None, :] * M          # (L, gL)
+    off = r_g[None, :] * M + t_r // L                   # (L, gL) lanes
+    pcol = t_r % L                                      # (L, gL) bank col
+    umax = max(span for (*_, span) in groups)
+    out = np.zeros((L * D, umax, len(groups) * 128), np.float32)
+    tI = np.arange(T)
+    for d in range(D):
+        for gi, (c0, c1, b8, span) in enumerate(groups):
+            W = c1 - c0
+            rows = (off[:, c0:c1, None] + (gM - h_min + d) - b8
+                    + tI[None, None, :])                     # (L, W, T)
+            vals = pfb2d[tI[None, None, :], pcol[:, c0:c1, None]]
+            cols = gi * 128 + np.arange(W)[None, :, None] + 0 * rows
+            slab = (np.arange(L)[:, None, None] * D + d) + 0 * rows
+            out[slab, rows, cols] = vals
+    return out
+
+
+def zc_geometry(L: int, M: int, n_out: int, xlen: int, JT: int | None = None):
+    """Static grid geometry (JT, num_tiles, T_ok, R), or None when the
+    zero-copy path cannot cover at least one full main tile. L/M are the
+    grouped effective values (g*L, g*M). num_tiles - T_ok <= 1; the
+    leftover tile (if any) runs as the aliased tail call."""
+    S = ZC_S
+    R = xlen // M
+    if JT is None:
+        JT = max(S, min(256, (131072 // M) // S * S))
+    J_total = -(-n_out // L)
+    num_tiles = -(-J_total // JT)
+    T_ok = min(num_tiles, max(0, (R - S) // JT))
+    if T_ok < 1 or num_tiles - T_ok > 1:
+        return None
+    return JT, num_tiles, T_ok, R
+
+
+def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
+             three_pass: bool, out_dtype):
+    """Shared contraction body: out rows r from bands at xcat rows
+    r+S-1 .. r+S+1 against the compressed K stripes."""
+    if three_pass:
+        kh_ref, kl_ref, o_ref = rest
+    else:
+        (k_ref, o_ref) = rest
+    f32 = jnp.float32
+    S = ZC_S
+    total = xcat.shape[0]
+
+    def mm(xs, r0, r1_, gi, w):
+        cs = gi * 128
+        if three_pass:
+            xh16, xl16 = prec.split_bf16(xs)
+            kh = kh_ref[0, r0:r1_, cs:cs + w]
+            kl = kl_ref[0, r0:r1_, cs:cs + w]
+            acc = jnp.dot(xh16, kh, preferred_element_type=f32)
+            acc = acc + jnp.dot(xh16, kl, preferred_element_type=f32)
+            acc = acc + jnp.dot(xl16, kh, preferred_element_type=f32)
+            return acc
+        return jnp.dot(xs, k_ref[0, r0:r1_, cs:cs + w],
+                       preferred_element_type=xs.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    views = {0: xcat}
+
+    def rowview(k):
+        if k not in views:
+            views[k] = pltpu.roll(xcat, jnp.int32(total - k), axis=0)
+        return views[k]
+
+    for gi, (c0, c1, b8, span) in enumerate(groups):
+        k0 = (S - 1) + b8 // gM
+        lane = b8 % gM
+        w = c1 - c0
+        v = rowview(k0)
+        r1 = v if lane == 0 else pltpu.roll(v, jnp.int32(gM - lane), axis=1)
+        if lane + span <= gM:
+            acc = mm(r1[:JT, :span], 0, span, gi, w)
+        else:
+            p1 = gM - lane
+            v2 = rowview(k0 + 1)
+            acc = (mm(r1[:JT, :p1], 0, p1, gi, w)
+                   + mm(v2[:JT, :span - p1], p1, span, gi, w))
+        o_ref[:, c0:c1] = acc.astype(out_dtype)
+
+
+def _kernel_zc_main(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, *rest,
+                    JT: int, gM: int, groups: tuple, three_pass: bool):
+    pid = pl.program_id(0)
+    first = jnp.where(pid == jnp.int32(0), hist_ref[...], prev_ref[...])
+    xcat = jnp.concatenate([first, xa_ref[...], next_ref[...]], axis=0)
+    _zc_body(xcat, rest, JT=JT, gM=gM, groups=groups,
+             three_pass=three_pass, out_dtype=rest[-1].dtype)
+
+
+def _kernel_zc_tail(dsel_ref, xt_ref, *rest, JT: int, gM: int,
+                    groups: tuple, three_pass: bool):
+    # rest = (*k_refs, prev_out_ref(ANY, ignored), o_ref)
+    _zc_body(xt_ref[...], (*rest[:-2], rest[-1]), JT=JT, gM=gM,
+             groups=groups, three_pass=three_pass,
+             out_dtype=rest[-1].dtype)
+
+
+def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
+                           n_out: int, groups: tuple, geo,
+                           three_pass: bool = True,
+                           interpret: bool = False):
+    """Zero-copy rational supercycle resample over flat ``x``.
+
+    x: (xlen,) at the stream origin of THIS block; hist: (>= S*gM,)
+    trailing stream samples; k_stack: (k_hi, k_lo) compressed bf16 stacks
+    (three_pass) or one f32/f64 stack; dsel: deficit slab index d0-1.
+    Entry phase must be 1 (callers cond on it). Returns flat (n_out,).
+    """
+    S = ZC_S
+    JT, num_tiles, T_ok, R = geo
+    xlen = x.shape[0]
+    x2d = x[: R * M].reshape(R, M)
+    h2d = hist[hist.shape[0] - S * M:].reshape(S, M)
+    if three_pass:
+        k_args = tuple(k_stack)
+        D, U, GC = k_stack[0].shape
+    else:
+        k_args = (k_stack,)
+        D, U, GC = k_stack.shape
+    k_specs = [pl.BlockSpec((1, U, GC),
+                            lambda j, d_ref: (d_ref[0], j * 0, j * 0))
+               for _ in k_args]
+    assert JT % S == 0
+    rps = JT // S
+    kern = functools.partial(_kernel_zc_main, JT=JT, gM=M, groups=groups,
+                             three_pass=three_pass)
+    dsel1 = dsel.reshape(1).astype(jnp.int32)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T_ok,),
+            in_specs=[
+                pl.BlockSpec((S, M), lambda j, d_ref: (j * 0, j * 0)),
+                pl.BlockSpec((S, M),
+                             lambda j, d_ref: (jnp.maximum(j * rps - 1, 0),
+                                               j * 0)),
+                pl.BlockSpec((JT, M), lambda j, d_ref: (j, j * 0)),
+                pl.BlockSpec((S, M), lambda j, d_ref: ((j + 1) * rps,
+                                                       j * 0)),
+                *k_specs,
+            ],
+            out_specs=pl.BlockSpec((JT, L), lambda j, d_ref: (j, j * 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(dsel1, h2d, x2d, x2d, x2d, *k_args)
+
+    if num_tiles > T_ok:
+        # final tile over a small assembled block (includes the sub-row
+        # remainder of x and zero tail padding), written into the same
+        # buffer via aliasing — in-place, and the alias chain keeps the
+        # main grid live for suffix-only consumers.
+        J0 = T_ok * JT
+        o0 = (J0 - S) * M
+        need = (JT + 2 * S) * M
+        xt = x[o0: min(o0 + need, xlen)]
+        xt2d = jnp.pad(xt, (0, need - xt.shape[0])).reshape(JT + 2 * S, M)
+        kern_t = functools.partial(_kernel_zc_tail, JT=JT, gM=M,
+                                   groups=groups, three_pass=three_pass)
+        out = pl.pallas_call(
+            kern_t,
+            out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), x.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec((JT + 2 * S, M),
+                                 lambda j, d_ref: (j * 0, j * 0)),
+                    *k_specs,
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec((JT, L),
+                                       lambda j, d_ref, _t=T_ok: (j * 0 + _t,
+                                                                  j * 0)),
+            ),
+            input_output_aliases={len(k_args) + 2: 0},
+            interpret=interpret,
+        )(dsel1, xt2d, *k_args, out)
     return out.reshape(num_tiles * JT * L)[:n_out]

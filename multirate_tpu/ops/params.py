@@ -201,6 +201,12 @@ class FIRRational:
 
     pfb: Any = _array()  # (taps_per_phi, L)
     k_super: Any = _array(default=None)  # fresh-stream band matrix (_k_super)
+    # zero-copy kernel K stacks: (D, U, g*L) bf16 hi/lo pairs, slab d
+    # pre-rolled for deficit shift d (pallas/rational2.build_k_zc_stack);
+    # None when the zc geometry is inapplicable (f64/complex taps, tiny
+    # or huge g*M) — those fall back to the grouped/XLA paths.
+    k_zc_hi: Any = _array(default=None)
+    k_zc_lo: Any = _array(default=None)
     interpolation: int = 1  # L
     decimation: int = 1     # M
     taps_per_phi: int = 0
@@ -210,8 +216,30 @@ class FIRRational:
     def create(cls, h, interpolation: int, decimation: int) -> "FIRRational":
         bank = _pfb.taps2pfb(h, interpolation)
         g = _pick_group(interpolation, decimation)
+        kh = kl = None
+        if bank.dtype == np.float32:
+            from .pallas.rational2 import band_groups_zc, build_k_zc_stack
+
+            T = bank.shape[0]
+            h_min = T - 1
+            slack = -(-decimation // interpolation) + 1  # = _max_deficit
+            groups = band_groups_zc(T, interpolation, decimation, g, h_min,
+                                    shift_slack=slack)
+            # budgets: one compressed K slab (hi+lo bf16) must fit VMEM,
+            # and the full (phase x deficit) stack must stay modest in HBM
+            if groups is not None:
+                umax = max(span for (_, _, _, span) in groups)
+                slab_b = umax * len(groups) * 128 * 4
+                if slab_b <= 4 << 20 and \
+                        interpolation * slack * slab_b <= 256 << 20:
+                    from . import precision as _prec
+
+                    stack = build_k_zc_stack(bank, interpolation, decimation,
+                                             g, h_min, slack, groups)
+                    kh, kl = _prec.split_bf16(jnp.asarray(stack))
         return cls(pfb=jnp.asarray(bank),
                    k_super=_k_super(bank, interpolation, decimation, g),
+                   k_zc_hi=kh, k_zc_lo=kl,
                    interpolation=interpolation,
                    decimation=decimation, taps_per_phi=bank.shape[0],
                    sc_group=g)
@@ -221,7 +249,21 @@ class FIRRational:
         return self.interpolation
 
     @property
+    def h_min(self) -> int:
+        """Minimal history the filter math needs (the reference's
+        shiftin! depth, Filters.jl:151-155)."""
+        return self.taps_per_phi - 1
+
+    @property
     def history_len(self) -> int:
+        """Carried history: the zero-copy kernel keeps the last ZC_S rows
+        (ZC_S * g*M samples) of the stream so a new block is read in place
+        with no [history ++ x] concat (pallas/rational2). Non-zc paths
+        slice the trailing h_min samples."""
+        if self.k_zc_hi is not None:
+            from .pallas.rational2 import ZC_S
+
+            return ZC_S * self.sc_group * self.decimation
         return self.taps_per_phi - 1
 
 

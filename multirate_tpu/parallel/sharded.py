@@ -102,27 +102,36 @@ def shard_filt_block(params, state: FilterState, x, mesh: Mesh,
     (y_blocks (C, n_t, n_max), counts (n_t,), new_state) where new_state
     carries the global stream state (history = tail of the last shard).
 
-    Requires per-shard block length >= history_len (one-hop halo).
+    Requires per-shard block length >= h_min (one-hop halo). The carried
+    state history may be LONGER than h_min (the rational zero-copy kernel
+    keeps ZC_S rows — params.history_len); only the trailing h_min samples
+    are semantically required, so shards pad the halo with leading zeros
+    when nblk < history_len. The zero-copy fast path only engages for
+    blocks much longer than history_len, in which case the halo is full.
     """
     n_t = mesh.shape["t"]
     C, N = x.shape
     nblk = N // n_t
     H = params.history_len
+    h_need = getattr(params, "h_min", H)
     if N % n_t:
         raise ValueError(f"time length {N} not divisible by {n_t} shards")
-    if nblk < H:
+    if nblk < h_need:
         raise ValueError(
-            f"per-shard block ({nblk}) must be >= history_len ({H}); "
+            f"per-shard block ({nblk}) must be >= h_min ({h_need}); "
             f"use longer blocks or fewer time shards")
     n_max = idx.max_outputs(params, nblk)
+    Ht = min(H, nblk)  # halo samples actually transferable in one hop
 
     def step(hist0, phase0, deficit0, x_blk):
         # x_blk: (C/ch_shards, nblk); hist0: (C/ch_shards, H) replicated on t
         k = lax.axis_index("t")
         if H > 0:
-            tail = x_blk[:, nblk - H:]
+            tail = x_blk[:, nblk - Ht:]
             halo = lax.ppermute(tail, "t",
                                 [(i, i + 1) for i in range(n_t - 1)])
+            if Ht < H:
+                halo = jnp.pad(halo, [(0, 0), (H - Ht, 0)])
             hist = jnp.where(k == 0, hist0, halo)
         else:
             hist = x_blk[:, :0]

@@ -21,7 +21,10 @@ def test_pallas_rational_matches_reference_path(rng, L, M, hlen):
     p = mr.make_kernel(h, ratio=Fraction(L, M))
     ref = np.asarray(mr.filt(h, x, Fraction(L, M), path="windows"))
     K = build_k_matrix(np.asarray(p.pfb), L, M)
-    xext = np.concatenate([np.zeros(p.history_len, np.float32), x])
+    # the raw kernel consumes the minimal-history xext convention (h_min
+    # leading samples), not the extended zero-copy history the params carry
+    h_min = getattr(p, "h_min", p.history_len)
+    xext = np.concatenate([np.zeros(h_min, np.float32), x])
     y = np.asarray(rational_supercycle_pallas(
         jnp.asarray(xext), jnp.asarray(K), L, M, len(ref), JT=32,
         interpret=True))

@@ -52,7 +52,9 @@ def test_pfb2pnfb_reconstructs_rows():
 def test_kernel_constructors_shapes():
     h = np.random.default_rng(0).standard_normal(40).astype(np.float32)
     k = mr.FIRRational.create(h, 3, 2)
-    assert k.pfb.shape == (14, 3) and k.history_len == 13
+    assert k.pfb.shape == (14, 3) and k.h_min == 13
+    # history_len >= h_min: the zero-copy kernel extends it to whole rows
+    assert k.history_len >= k.h_min
     k = mr.FIRArbitrary.create(h, 1.5, 8)
     assert k.pfb.shape == (5, 8) and k.dpfb.shape == (5, 8)
     # dpfb is built from [diff(h); 0] (Filters.jl:106)
