@@ -288,15 +288,15 @@ def _rational_groups(params):
 
 def _zc_plan(params, x, dt, n_max):
     """Static zero-copy plan (groups, geometry) or None."""
-    from .pallas.rational2 import band_groups_zc, zc_geometry
+    from .pallas.rational2 import zc_groups, zc_geometry
 
     if not (isinstance(params, FIRRational) and params.k_zc_hi is not None):
         return None
     if x.dtype != jnp.float32 or dt != jnp.float32:
         return None
     L, M, g = params.interpolation, params.decimation, params.sc_group
-    groups = band_groups_zc(params.taps_per_phi, L, M, g, params.h_min,
-                            shift_slack=_max_deficit(L, M))
+    groups = zc_groups(params.taps_per_phi, L, M, g, params.h_min,
+                       shift_slack=_max_deficit(L, M))
     if groups is None:
         return None
     geo = zc_geometry(g * L, g * M, n_max, x.shape[-1])

@@ -296,15 +296,23 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
 
 
 def band_groups_zc(T: int, L: int, M: int, group: int, h_min: int,
-                   shift_slack: int = 0, cols_per_group: int = 128):
+                   shift_slack: int = 0, cols_per_group: int = 128,
+                   lane_align: int = 128):
     """Static (c0, c1, b8, span) groups for the zero-copy kernel.
 
-    b8 is the 8-floored band start in lanes RELATIVE to xcat row r + (S-1)
-    for output row r: band position p(c) = gM + off(c) - h_min (in
-    [gM - h_min, 2*gM)), so b8 in [0, 2*gM) and each group spans at most
-    two consecutive rows (group width ~ cols*M/L + T + slack < gM).
+    b8 is the band start in lanes RELATIVE to xcat row r + (S-1) for
+    output row r, floored to ``lane_align``: band position p(c) = gM +
+    off(c) - h_min (in [gM - h_min, 2*gM)), so b8 in [0, 2*gM).
+
+    lane_align=128 aligns every band start to a whole vector register, so
+    the kernel assembles group windows with ZERO cross-lane rolls — a
+    128-multiple lane slice of a (rows-rolled) tile is free, while a
+    dynamic-width lane roll is a full-tile VPU shuffle (measured: the 5
+    per-group lane rolls cost ~as much as the matmuls). The price is up
+    to lane_align-1 extra leading K rows per group (~60% wider matmuls
+    for the 147//160 headline) — still far below the HBM-bound budget.
     Returns None if the geometry is inapplicable (h_min > gM, or a group
-    wider than one row).
+    span would exceed one row width gM).
     """
     gL, gM = group * L, group * M
     if h_min > gM:
@@ -315,13 +323,22 @@ def band_groups_zc(T: int, L: int, M: int, group: int, h_min: int,
     groups = []
     for c0 in range(0, gL, cols_per_group):
         c1 = min(c0 + cols_per_group, gL)
-        b8 = (int(p[c0:c1].min()) // 8) * 8
+        b8 = (int(p[c0:c1].min()) // lane_align) * lane_align
         hi = int(p[c0:c1].max()) + 1 + T + shift_slack
         span = -(-(hi - b8) // 8) * 8
-        if span > gM:  # would cross two row boundaries
+        if span > gM:  # segment loop supports 2 rows max per group
             return None
         groups.append((c0, c1, b8, span))
     return tuple(groups)
+
+
+def zc_groups(T: int, L: int, M: int, group: int, h_min: int,
+              shift_slack: int = 0):
+    """Group plan at 8-lane alignment. (128-lane alignment would make the
+    per-group lane rolls disappear, but measured SLOWER on the v5e
+    headline — 30.7 vs 41.9 Gsps — the ~1.3x wider spans cost more in
+    matmul+K traffic than the rolls they save.)"""
+    return band_groups_zc(T, L, M, group, h_min, shift_slack, lane_align=8)
 
 
 def build_k_zc_stack(pfb2d: np.ndarray, L: int, M: int, group: int,
@@ -411,8 +428,10 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
     views = {0: xcat}
 
     def rowview(k):
+        # 8-multiples are free sublane-aligned slices; others roll
         if k not in views:
-            views[k] = pltpu.roll(xcat, jnp.int32(total - k), axis=0)
+            views[k] = (xcat[k:] if k % 8 == 0
+                        else pltpu.roll(xcat, jnp.int32(total - k), axis=0))
         return views[k]
 
     for gi, (c0, c1, b8, span) in enumerate(groups):
@@ -420,14 +439,24 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
         lane = b8 % gM
         w = c1 - c0
         v = rowview(k0)
-        r1 = v if lane == 0 else pltpu.roll(v, jnp.int32(gM - lane), axis=1)
-        if lane + span <= gM:
-            acc = mm(r1[:JT, :span], 0, span, gi, w)
-        else:
+        if lane % 128 == 0 and lane + span <= gM:
+            # 128-aligned lane slice: pure vreg select, no data movement
+            acc = mm(v[:JT, lane:lane + span], 0, span, gi, w)
+        elif lane % 128 == 0:
             p1 = gM - lane
             v2 = rowview(k0 + 1)
-            acc = (mm(r1[:JT, :p1], 0, p1, gi, w)
+            acc = (mm(v[:JT, lane:gM], 0, p1, gi, w)
                    + mm(v2[:JT, :span - p1], p1, span, gi, w))
+        else:
+            r1 = (v if lane == 0
+                  else pltpu.roll(v, jnp.int32(gM - lane), axis=1))
+            if lane + span <= gM:
+                acc = mm(r1[:JT, :span], 0, span, gi, w)
+            else:
+                p1 = gM - lane
+                v2 = rowview(k0 + 1)
+                acc = (mm(r1[:JT, :p1], 0, p1, gi, w)
+                       + mm(v2[:JT, :span - p1], p1, span, gi, w))
         o_ref[:, c0:c1] = acc.astype(out_dtype)
 
 

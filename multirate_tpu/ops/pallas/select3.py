@@ -50,17 +50,6 @@ _SH2 = 20          # affine block-base shift
 _MAX_STEPS = 1 << 10
 
 
-def _lane_gather(A, idx):
-    """take_along_axis(A, idx, axis=1) with int32 indices (jnp's own
-    converts indices to int64 under x64, which Mosaic rejects)."""
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
-        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
-    return jax.lax.gather(
-        A, idx[..., None], dnums, slice_sizes=(1, 1),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-
-
 def _split16(v):
     """(hi, lo) bf16 pair with hi + lo == v to ~2^-16 relative.
 
@@ -168,8 +157,14 @@ def _sub_slice(xcat, rb, RQS):
     return _split16(xs)
 
 
-def _window(pk, xs_h, xs_l, iota_r, iota_l):
-    """W[n, i] = x[q_sub[n] + i] for i in [0, 128) from the sub-tile slice."""
+def _select_rows(pk, xs_h, xs_l, iota_r):
+    """(A, A2, lane): A[n, :] = xs[row_n, :], A2 the next row, and the
+    in-row lane of each output's window start. Row selection is two
+    bf16x2 one-hot matmuls (MXU); the per-output LANE extraction is NOT
+    done here — the native (SB, 128) lane gather it used to feed measured
+    ~100x slower than everything else in the kernel combined (the gather
+    unit walks elements); callers fold the lane shift into the TAP matrix
+    instead (_apply_taps)."""
     q_sub = jax.lax.bitwise_and(pk, jnp.int32((1 << _Q_BITS) - 1))
     row = jax.lax.shift_right_logical(q_sub, jnp.int32(7))
     lane = jax.lax.bitwise_and(q_sub, jnp.int32(_LANES - 1))
@@ -177,10 +172,27 @@ def _window(pk, xs_h, xs_l, iota_r, iota_l):
     oh2 = (iota_r == (row + 1)[:, None]).astype(jnp.bfloat16)
     A = _dot2(oh, xs_h, xs_l)
     A2 = _dot2(oh2, xs_h, xs_l)
-    pos = lane[:, None] + iota_l
-    gidx = jax.lax.bitwise_and(pos, jnp.int32(_LANES - 1))
-    return jnp.where(pos < jnp.int32(_LANES), _lane_gather(A, gidx),
-                     _lane_gather(A2, gidx))
+    return A, A2, lane
+
+
+def _apply_taps(A, A2, lane, taps, iota_l, T: int):
+    """y[n] = sum_t taps[n, t] * window_n[t] with window_n[t] =
+    (A|A2)[n, lane_n + t], WITHOUT any per-row gather/rotate: place tap t
+    of row n at lane lane_n + t of an accumulated tap-image K2 (a vector
+    compare + select per t — T cheap VPU stages), then contract
+    elementwise. Equality against iota handles the A/A2 row crossing for
+    free: lane+t >= 128 never matches iota in K2a, and (lane+t-128) < 0
+    never matches in K2b."""
+    f32 = jnp.float32
+    ka = jnp.zeros(A.shape, f32)
+    kb = jnp.zeros(A.shape, f32)
+    for t in range(T):
+        pos = lane + jnp.int32(t)
+        tv = taps[:, t:t + 1]
+        ka = ka + jnp.where(iota_l == pos[:, None], tv, jnp.float32(0.0))
+        kb = kb + jnp.where(iota_l == (pos[:, None] - jnp.int32(_LANES)),
+                            tv, jnp.float32(0.0))
+    return jnp.sum(A * ka + A2 * kb, axis=1)
 
 
 def _k3_arb(pk_ref, rb_ref, xa, xb, banks, o_ref, *, NSUB: int, RQS: int,
@@ -196,7 +208,7 @@ def _k3_arb(pk_ref, rb_ref, xa, xb, banks, o_ref, *, NSUB: int, RQS: int,
         pk = pk_ref[sub, k * _SB:(k + 1) * _SB]
         rb = rb_ref[sub, k]
         xs_h, xs_l = _sub_slice(xcat, rb, RQS)
-        W = _window(pk, xs_h, xs_l, iota_r, iota_l)
+        A, A2, lane = _select_rows(pk, xs_h, xs_l, iota_r)
         phi = jax.lax.bitwise_and(
             jax.lax.shift_right_logical(pk, jnp.int32(_Q_BITS)),
             jnp.int32(NPHI - 1))
@@ -211,9 +223,9 @@ def _k3_arb(pk_ref, rb_ref, xa, xb, banks, o_ref, *, NSUB: int, RQS: int,
             # packed: lanes [0:T] pfb, [64:64+T] dpfb; hi rows then lo rows
             TH = _dot2(ohp, banks[0:NPHI, :], banks[NPHI:2 * NPHI, :])
             THd = pltpu.roll(TH, jnp.int32(64), axis=1)
-        taps = jnp.where(iota_l < jnp.int32(T),
-                         TH + alpha[:, None] * THd, jnp.float32(0.0))
-        o_ref[sub, k * _SB:(k + 1) * _SB] = jnp.sum(W * taps, axis=1)
+        taps = TH + alpha[:, None] * THd
+        o_ref[sub, k * _SB:(k + 1) * _SB] = _apply_taps(
+            A, A2, lane, taps, iota_l, T)
 
 
 def _k3_farrow(pk_ref, rb_ref, xa, xb, coeffs, o_ref, *, NSUB: int,
@@ -229,7 +241,7 @@ def _k3_farrow(pk_ref, rb_ref, xa, xb, coeffs, o_ref, *, NSUB: int,
         pk = pk_ref[sub, k * _SB:(k + 1) * _SB]
         rb = rb_ref[sub, k]
         xs_h, xs_l = _sub_slice(xcat, rb, RQS)
-        W = _window(pk, xs_h, xs_l, iota_r, iota_l)
+        A, A2, lane = _select_rows(pk, xs_h, xs_l, iota_r)
         # psi = 1 + 21-bit fraction * nphi, in [1, nphi + 1)
         u21 = jax.lax.shift_right_logical(pk, jnp.int32(_Q_BITS))
         psi = jnp.float32(1.0) + u21.astype(f32) * jnp.float32(
@@ -242,7 +254,8 @@ def _k3_farrow(pk_ref, rb_ref, xa, xb, coeffs, o_ref, *, NSUB: int,
         taps = (jnp.dot(pw_h, ch, preferred_element_type=f32)
                 + jnp.dot(pw_h, cl, preferred_element_type=f32)
                 + jnp.dot(pw_l, ch, preferred_element_type=f32))
-        o_ref[sub, k * _SB:(k + 1) * _SB] = jnp.sum(W * taps, axis=1)
+        o_ref[sub, k * _SB:(k + 1) * _SB] = _apply_taps(
+            A, A2, lane, taps, iota_l, T)
 
 
 def _launch(kernel, bank_pair, geo, nphi, delta_fx, u0, x, n_out,

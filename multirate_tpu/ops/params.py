@@ -218,20 +218,20 @@ class FIRRational:
         g = _pick_group(interpolation, decimation)
         kh = kl = None
         if bank.dtype == np.float32:
-            from .pallas.rational2 import band_groups_zc, build_k_zc_stack
+            from .pallas.rational2 import zc_groups, build_k_zc_stack
 
             T = bank.shape[0]
             h_min = T - 1
             slack = -(-decimation // interpolation) + 1  # = _max_deficit
-            groups = band_groups_zc(T, interpolation, decimation, g, h_min,
-                                    shift_slack=slack)
+            groups = zc_groups(T, interpolation, decimation, g, h_min,
+                               shift_slack=slack)
             # budgets: one compressed K slab (hi+lo bf16) must fit VMEM,
             # and the full (phase x deficit) stack must stay modest in HBM
             if groups is not None:
                 umax = max(span for (_, _, _, span) in groups)
                 slab_b = umax * len(groups) * 128 * 4
                 if slab_b <= 4 << 20 and \
-                        interpolation * slack * slab_b <= 256 << 20:
+                        interpolation * slack * slab_b <= 512 << 20:
                     from . import precision as _prec
 
                     stack = build_k_zc_stack(bank, interpolation, decimation,

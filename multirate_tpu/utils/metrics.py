@@ -99,11 +99,14 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
 
     from ..ops.compute import filt_block_raw
 
-    @partial(jax.jit, static_argnames=("reps",))
-    def many(s, xx, reps):
+    # params MUST be a jit argument, not a closure constant: closed-over
+    # device arrays hit the axon relay's large-constant pathology
+    # (CLAUDE.md), and the zero-copy kernels carry ~100 MB K stacks
+    @partial(jax.jit, static_argnames=("reps", "path_"))
+    def many(p, s, xx, reps, path_):
         def body(i, carry):
             s, xx, acc = carry
-            y, _, s = filt_block_raw(params, s, xx, path)
+            y, _, s = filt_block_raw(p, s, xx, path_)
             last = y[..., -1].ravel()[0]
             xx = xx.at[..., 0].add(last * 1e-30)
             return (s, xx, acc + last)
@@ -112,11 +115,11 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
         return acc
 
     def tmin(reps):
-        complex(many(state, x, reps))  # compile + warm
+        complex(many(params, state, x, reps, path))  # compile + warm
         ts = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            complex(many(state, x, reps))
+            complex(many(params, state, x, reps, path))
             ts.append(time.perf_counter() - t0)
         return float(np.min(ts))
 
