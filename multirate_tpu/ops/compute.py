@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from . import indexing as idx
@@ -620,6 +621,23 @@ def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
             lambda: xext.astype(dt),
             lambda: _shift_origin(xext.astype(dt), d0, max_step + 2),
         )
+        if xs.ndim > 1:
+            # batched channels share (u0, d0): the chansel kernel emits
+            # every channel from ONE matmul per output tile against a
+            # shared in-VMEM banded tap matrix (pallas/select4.py) —
+            # MXU-bound, vs the per-output VPU work of the v3 kernel
+            from .pallas.select4 import chan_resample_v4, v4_geometry
+
+            lead = xs.shape[:-1]
+            C = int(np.prod(lead)) if lead else 1
+            if C % 8 == 0 and v4_geometry(
+                    params.nphi, params.delta_fx, params.taps_per_phi,
+                    n_max, C) is not None:
+                out = chan_resample_v4(
+                    xs.reshape(C, xs.shape[-1]), u0, params.pfb,
+                    params.dpfb, params.nphi, params.delta_fx, n_max,
+                    interpret=interp)
+                return out.reshape(*lead, n_max)
         run3 = lambda xv: window_resample_v3(  # noqa: E731
             xv, u0, params.pfb, params.dpfb, params.nphi,
             params.delta_fx, n_max, interpret=interp)
@@ -669,6 +687,20 @@ def _farrow_winsel(params: FIRFarrow, xext, u0, d0, n_max, dt):
             lambda: xext.astype(dt),
             lambda: _shift_origin(xext.astype(dt), d0, max_step + 2),
         )
+        if xs.ndim > 1:
+            from .pallas.select4 import (chan_resample_farrow_v4,
+                                         v4_geometry)
+
+            lead = xs.shape[:-1]
+            C = int(np.prod(lead)) if lead else 1
+            if C % 8 == 0 and v4_geometry(
+                    params.nphi, params.delta_fx, params.taps_per_phi,
+                    n_max, C) is not None:
+                out = chan_resample_farrow_v4(
+                    xs.reshape(C, xs.shape[-1]), u0, params.coeffs,
+                    params.nphi, params.delta_fx, n_max,
+                    interpret=interp)
+                return out.reshape(*lead, n_max)
         run3 = lambda xv: window_resample_farrow_v3(  # noqa: E731
             xv, u0, params.coeffs, params.nphi, params.delta_fx, n_max,
             interpret=interp)

@@ -428,10 +428,8 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
     views = {0: xcat}
 
     def rowview(k):
-        # 8-multiples are free sublane-aligned slices; others roll
         if k not in views:
-            views[k] = (xcat[k:] if k % 8 == 0
-                        else pltpu.roll(xcat, jnp.int32(total - k), axis=0))
+            views[k] = pltpu.roll(xcat, jnp.int32(total - k), axis=0)
         return views[k]
 
     for gi, (c0, c1, b8, span) in enumerate(groups):

@@ -177,22 +177,27 @@ def _select_rows(pk, xs_h, xs_l, iota_r):
 
 def _apply_taps(A, A2, lane, taps, iota_l, T: int):
     """y[n] = sum_t taps[n, t] * window_n[t] with window_n[t] =
-    (A|A2)[n, lane_n + t], WITHOUT any per-row gather/rotate: place tap t
-    of row n at lane lane_n + t of an accumulated tap-image K2 (a vector
-    compare + select per t — T cheap VPU stages), then contract
-    elementwise. Equality against iota handles the A/A2 row crossing for
-    free: lane+t >= 128 never matches iota in K2a, and (lane+t-128) < 0
-    never matches in K2b."""
-    f32 = jnp.float32
-    ka = jnp.zeros(A.shape, f32)
-    kb = jnp.zeros(A.shape, f32)
-    for t in range(T):
-        pos = lane + jnp.int32(t)
-        tv = taps[:, t:t + 1]
-        ka = ka + jnp.where(iota_l == pos[:, None], tv, jnp.float32(0.0))
-        kb = kb + jnp.where(iota_l == (pos[:, None] - jnp.int32(_LANES)),
-                            tv, jnp.float32(0.0))
-    return jnp.sum(A * ka + A2 * kb, axis=1)
+    (A|A2)[n, lane_n + t], WITHOUT any per-row gather: rotate each tap
+    row right by lane_n with a 7-stage masked barrel shifter (static
+    power-of-two lane rolls + selects — whole-row VPU ops, no per-element
+    gather and no sub-vreg broadcasts), then contract elementwise. After
+    rotation, tap t of row n sits at lane (lane_n + t) mod 128; lanes
+    >= lane_n read from A (same row), wrapped lanes < lane_n read from A2
+    (the next row) — one select handles the row crossing. Requires
+    T <= 128 - no-overlap: lane+T wrap never reaches lane again (T <=
+    _LANES guaranteed by v3_geometry)."""
+    # mask junk beyond the T real taps (the packed bank layout carries
+    # dpfb values at lanes [64, 64+T))
+    rot = jnp.where(iota_l < jnp.int32(T), taps, jnp.float32(0.0))
+    lane2 = lane[:, None]  # minor-dim insert on int32 (bool is rejected)
+    for b in range(7):
+        sh = 1 << b
+        bit2 = jax.lax.bitwise_and(
+            jax.lax.shift_right_logical(lane2, jnp.int32(b)), jnp.int32(1))
+        rot = jnp.where(bit2 == jnp.int32(1),
+                        pltpu.roll(rot, jnp.int32(sh), axis=1), rot)
+    src = jnp.where(iota_l >= lane2, A, A2)
+    return jnp.sum(src * rot, axis=1)
 
 
 def _k3_arb(pk_ref, rb_ref, xa, xb, banks, o_ref, *, NSUB: int, RQS: int,

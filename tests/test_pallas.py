@@ -266,3 +266,34 @@ def test_winsel_v3_fat_tile_kernels(rng):
     yb = np.asarray(mr.filt(h, xb, 0.77, 32, path="winsel"))
     rb = np.asarray(mr.filt(h, xb, 0.77, 32, path="windows"))
     assert np.abs(yb - rb).max() / np.abs(rb).max() < 5e-5
+
+
+def test_chansel_batched_matches_windows(rng):
+    """Batched-channel fused kernel (pallas/select4 'chansel'): all
+    channels share one resampler state; outputs must match the per-channel
+    windows path (reference semantics Filters.jl:693-742, 780-836)."""
+    ha = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+          ).astype(np.float32)
+    x = rng.standard_normal((8, 40_000)).astype(np.float32)
+    for spec in ((0.4709, 32), (1.618, 32), (0.9173, 32, 4)):
+        yw = np.asarray(mr.filt(ha, x, *spec, path="windows"))
+        yz = np.asarray(mr.filt(ha, x, *spec, path="winsel"))
+        n = min(yw.shape[-1], yz.shape[-1])
+        num = np.sqrt(np.mean((yz[..., :n] - yw[..., :n]) ** 2))
+        den = np.sqrt(np.mean(yw[..., :n] ** 2))
+        assert num / den < 5e-4, f"{spec}: rel rms {num / den}"
+
+
+def test_chansel_streaming_chunked(rng):
+    """Chunked batched streaming through chansel == whole-vector."""
+    ha = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+          ).astype(np.float32)
+    x = rng.standard_normal((8, 60_000)).astype(np.float32)
+    whole = np.asarray(mr.filt(ha, x, 0.77, 32, path="winsel"))
+    f = mr.FIRFilter(ha, 0.77, path="winsel")
+    parts = [np.asarray(f.filt(x[:, i:i + 15_000]))
+             for i in range(0, 60_000, 15_000)]
+    yc = np.concatenate(parts, axis=-1)
+    n = min(yc.shape[-1], whole.shape[-1])
+    np.testing.assert_allclose(yc[..., :n], whole[..., :n],
+                               rtol=2e-4, atol=2e-4)
