@@ -51,6 +51,13 @@ def accuracy_rms(mr, params, h, spec, x_np, y_dev, n_check=200_000):
         from scipy.signal import upfirdn
 
         ref = upfirdn(h64, x64, up=spec.numerator, down=spec.denominator)
+    elif hasattr(params, "polyorder"):
+        # Farrow must be checked against the Farrow METHOD in float64:
+        # the bank-interp oracle differs by the polynomial fit (~1e-3)
+        from multirate_tpu.utils.oracle import naivefilt_farrow
+
+        ref = naivefilt_farrow(h64, x64, float(spec), params.nphi,
+                               params.polyorder)
     else:
         from multirate_tpu.utils.oracle import naivefilt
 

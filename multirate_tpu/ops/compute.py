@@ -850,10 +850,10 @@ def _auto_path(params, x):
     if isinstance(params, (FIRArbitrary, FIRFarrow)):
         if cx_taps:
             return "windows"
-        # phaseall (interpolate-everything + monotone select) measures at
-        # or above the fused winsel kernel per output on v5e; both are
-        # available explicitly. See ROADMAP.md for the round-2 plan.
-        return "phaseall" if on_tpu else "windows"
+        # winsel dispatches batched channels to the chansel kernel
+        # (pallas/select4) — MXU-bound, ~25-60x the per-channel kernels
+        # on v5e — and single channels to the fused select3 kernel.
+        return "winsel" if on_tpu else "windows"
     return "windows"
 
 

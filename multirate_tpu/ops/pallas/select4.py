@@ -43,7 +43,7 @@ __all__ = ["chan_resample_v4", "chan_resample_farrow_v4", "v4_geometry"]
 _LANES = 128
 _NO = 128          # outputs per tile (one matmul N dimension)
 _SUB = 8           # tiles per grid step
-_QBITS = 12        # window start relative to the x block (< 4096)
+_QBITS = 13        # window start relative to the x block (< 8192)
 _SH2 = 20          # affine block-base shift (select3 convention)
 _MAX_STEPS = 1 << 10
 
@@ -93,8 +93,9 @@ def v4_geometry(nphi, delta_fx, T, n_out, C):
 
 def _prep_indices(geo, nphi, delta_fx, u0, farrow):
     """packed (steps8, step_out) int32: q relative to the step's x block
-    (12 bits) | phase (5 bits) | alpha at 2^-15 (arb), or | psi fraction
-    at 20 bits (Farrow). Exact two-level int64 carry math as select3."""
+    (13 bits) | phase (5 bits) | alpha at 2^-14 (arb), or | psi fraction
+    at 19 bits (Farrow) — all quantizations inside the 1e-4 budget.
+    Exact two-level int64 carry math as select3."""
     D = geo.D
     steps8, S = geo.steps8, geo.step_out
     qd, rd = divmod(delta_fx, D)
@@ -111,12 +112,12 @@ def _prep_indices(geo, nphi, delta_fx, u0, farrow):
     q_blk = jnp.clip(q_abs - bj[:, None] * (geo.xr * _LANES),
                      0, (1 << _QBITS) - 1).astype(jnp.int32)
     if farrow:
-        hi = ((rem << 20) // D).astype(jnp.int32)       # 20-bit psi frac
+        hi = ((rem << 19) // D).astype(jnp.int32)       # 19-bit psi frac
         return q_blk | (hi << _QBITS)
     phi = (rem >> PHASE_FRAC_BITS).astype(jnp.int32)
-    a15 = ((rem & ((1 << PHASE_FRAC_BITS) - 1))
-           >> (PHASE_FRAC_BITS - 15)).astype(jnp.int32)
-    return q_blk | (phi << _QBITS) | (a15 << 17)
+    a14 = ((rem & ((1 << PHASE_FRAC_BITS) - 1))
+           >> (PHASE_FRAC_BITS - 14)).astype(jnp.int32)
+    return q_blk | (phi << _QBITS) | (a14 << 18)
 
 
 def _k4_common(pk, banks_or_coeffs, T, NPHI, farrow, P1=0):
@@ -124,9 +125,9 @@ def _k4_common(pk, banks_or_coeffs, T, NPHI, farrow, P1=0):
     f32 = jnp.float32
     qrel = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
     if farrow:
-        u20 = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
-        psi = jnp.float32(1.0) + u20.astype(f32) * jnp.float32(
-            NPHI * 2.0 ** -20)
+        u19 = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
+        psi = jnp.float32(1.0) + u19.astype(f32) * jnp.float32(
+            NPHI * 2.0 ** -19)
         # powersT (P1, NO): psi^p rows
         p1pad = -(-P1 // 8) * 8
         rows = [jnp.ones((1, psi.shape[0]), f32)]
@@ -145,8 +146,8 @@ def _k4_common(pk, banks_or_coeffs, T, NPHI, farrow, P1=0):
     phi = jax.lax.bitwise_and(
         jax.lax.shift_right_logical(pk, jnp.int32(_QBITS)),
         jnp.int32(NPHI - 1))
-    alpha = jax.lax.shift_right_logical(pk, jnp.int32(17)).astype(f32) \
-        * jnp.float32(2.0 ** -15)
+    alpha = jax.lax.shift_right_logical(pk, jnp.int32(18)).astype(f32) \
+        * jnp.float32(2.0 ** -14)
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (NPHI, phi.shape[0]), 0)
     ohp = (iota_p == phi[None, :]).astype(jnp.bfloat16)   # (NPHI, NO)
     ph, pl_, dh, dl = banks_or_coeffs           # (T128, NPHI) hi/lo
@@ -159,11 +160,10 @@ def _k4_common(pk, banks_or_coeffs, T, NPHI, farrow, P1=0):
 
 
 def _k4_kernel(pk_ref, xa, xb, bk, o_ref, *, T: int, NPHI: int,
-               farrow: bool, P1: int, T128: int):
+               farrow: bool, P1: int, T128: int, UW: int):
     f32 = jnp.float32
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
     xall = jnp.concatenate([xa[:], xb[:]], axis=1)       # (C, U2) f32
-    xh, xl = _split16(xall)
     u2 = xall.shape[1]
     if farrow:
         t128 = T128
@@ -172,13 +172,25 @@ def _k4_kernel(pk_ref, xa, xb, bk, o_ref, *, T: int, NPHI: int,
         t128 = T128
         banks = (bk[0:t128, :], bk[t128:2 * t128, :],
                  bk[2 * t128:3 * t128, :], bk[3 * t128:, :])
-    iota_u = jax.lax.broadcasted_iota(jnp.int32, (u2, _NO), 0)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, _NO), 0)
+    # one aligned dynamic row load; per-tile slices are then static
+    # (Mosaic rejects dynamic sublane loads at non-zero lane offsets)
+    pk_row = pk_ref[sub, :]
     for k in range(_SUB):
-        pk = pk_ref[sub, k * _NO:(k + 1) * _NO]
+        pk = pk_row[k * _NO:(k + 1) * _NO]
         qrel, tapsT = _k4_common(pk, banks, T, NPHI, farrow, P1)
-        k3 = jnp.zeros((u2, _NO), f32)
+        # narrow this tile's matmul to a 128-aligned dynamic window of
+        # the block: ONE dynamic f32 lane rotate; the tap placement and
+        # the matmul then run at depth UW instead of the full block
+        tb = jnp.minimum(
+            jax.lax.bitwise_and(jnp.min(qrel), jnp.int32(-_LANES)),
+            jnp.int32(u2 - UW))
+        xw = pltpu.roll(xall, jnp.int32(u2) - tb, axis=1)[:, :UW]
+        xh, xl = _split16(xw)
+        qw = qrel - tb
+        k3 = jnp.zeros((UW, _NO), f32)
         for t in range(T):
-            m = iota_u == (qrel + jnp.int32(t))[None, :]
+            m = iota_u == (qw + jnp.int32(t))[None, :]
             k3 = k3 + jnp.where(m, tapsT[t:t + 1, :], jnp.float32(0.0))
         kh, kl = _split16(k3)
         acc = (jnp.dot(xh, kh, preferred_element_type=f32)
@@ -239,7 +251,8 @@ def chan_resample_v4(x2, u0, pfb, dpfb, nphi: int, delta_fx: int,
     ph, plo = _split16(bp)
     dh, dlo = _split16(bd)
     banks = jnp.concatenate([ph, plo, dh, dlo], axis=0)  # (4*t128, nphi)
-    static = dict(T=T, NPHI=nphi, farrow=False, P1=0, T128=t128)
+    static = dict(T=T, NPHI=nphi, farrow=False, P1=0, T128=t128,
+                  UW=geo.uw)
     return _launch(geo, packed, banks, x2.astype(jnp.float32), n_out, C,
                    interpret, static)
 
@@ -259,6 +272,7 @@ def chan_resample_farrow_v4(x2, u0, coeffs, nphi: int, delta_fx: int,
         coeffs.T.astype(jnp.float32))
     ch, cl = _split16(cpadT)
     banks = jnp.concatenate([ch, cl], axis=0)            # (2*t128, P1pad)
-    static = dict(T=T, NPHI=nphi, farrow=True, P1=P1, T128=t128)
+    static = dict(T=T, NPHI=nphi, farrow=True, P1=P1, T128=t128,
+                  UW=geo.uw)
     return _launch(geo, packed, banks, x2.astype(jnp.float32), n_out, C,
                    interpret, static)

@@ -127,8 +127,16 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
     t1 = tmin(r1)
     per_est = max(t1 / r1, 1e-6)
     r2 = r1 + max(r1, min(int(0.5 / per_est), max_extra))
-    t2 = tmin(r2)
-    return max((t2 - t1) / (r2 - r1), 1e-9)
+    # the relay/device pace drifts across seconds (identical programs
+    # measured 1.5-2x apart minutes later); one (t1, t2) pair can straddle
+    # a pace change and corrupt the slope, so take the median of three
+    # independent slope measurements
+    slopes = []
+    for _ in range(3):
+        t1 = tmin(r1)
+        t2 = tmin(r2)
+        slopes.append(max((t2 - t1) / (r2 - r1), 1e-9))
+    return float(np.median(slopes))
 
 
 def measure_chained(params, state, x, path: str = "auto",

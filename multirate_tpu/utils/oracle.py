@@ -67,3 +67,37 @@ def naivefilt(h, x, resamplerate=Fraction(1, 1), numfilters: int = 32):
         xidx += int(math.floor(alpha)) + stride
         alpha = math.fmod(alpha, 1.0)
     return y[:yidx].copy()
+
+
+def naivefilt_farrow(h, x, rate: float, numfilters: int = 32,
+                     polyorder: int = 4):
+    """Float64 host oracle of the FARROW method itself.
+
+    The Farrow resampler evaluates a per-tap polynomial fit of the
+    filter bank (reference Filters.jl:123-147, 780-836); comparing its
+    output against the bank-interpolation oracle (``naivefilt``) measures
+    the polynomial FIT error (~1e-3 for typical banks), not kernel
+    correctness. This oracle reproduces the polynomial method in float64
+    with the exact integer index walk, so kernel implementations can be
+    validated to their true numerical error.
+    """
+    from ..ops import pfb as _pfb
+    from ..ops import indexing as idx
+    from ..ops.params import PHASE_FRAC_BITS, _delta_fx
+
+    h64 = np.asarray(h, np.float64)
+    x64 = np.asarray(x, np.float64)
+    bank = _pfb.taps2pfb(h64, numfilters)
+    C = np.asarray(_pfb.pfb2pnfb(bank, polyorder), np.float64)  # (P1, T)
+    T = bank.shape[0]
+    dfx = _delta_fx(numfilters, float(rate))
+    n_max = int(idx.accum_count(numfilters, dfx, 0, 1, x64.shape[0]))
+    inp, phi, frac = (np.asarray(v) for v in idx.accum_indices(
+        numfilters, dfx, 0, 1, n_max))
+    xext = np.concatenate([np.zeros(T - 1, np.float64), x64])
+    starts = (inp - 1).astype(np.int64)
+    W = np.lib.stride_tricks.sliding_window_view(xext, T)[starts]
+    psi = 1.0 + phi.astype(np.float64) + np.asarray(frac, np.float64)
+    powers = psi[:, None] ** np.arange(C.shape[0], dtype=np.float64)[None]
+    taps = powers @ C                              # (n, T)
+    return np.sum(W * taps, axis=1)

@@ -215,3 +215,20 @@ def test_invalid_rate():
         mr.FIRArbitrary.create(np.ones(8), -1.0, 32)
     with pytest.raises(ValueError):
         mr.FIRFarrow.create(np.ones(8), 0.0, 32, 4)
+
+
+def test_farrow_method_oracle(rng):
+    """naivefilt_farrow reproduces the Farrow METHOD in float64: the
+    windows-path kernel must match it to float32 noise (the bank-interp
+    oracle differs by the polynomial fit error, ~1e-3 — comparing against
+    it would mask kernel bugs below that level)."""
+    from multirate_tpu.utils.oracle import naivefilt_farrow
+
+    h = design_taps().astype(np.float32)
+    x = rng.standard_normal(20_000).astype(np.float32)
+    ref = naivefilt_farrow(h, x, 0.7321, 32, 4)
+    y = np.asarray(mr.filt(h, x, 0.7321, 32, 4, path="windows"))
+    n = min(len(ref), len(y))
+    num = np.sqrt(np.mean((y[:n] - ref[:n]) ** 2))
+    den = np.sqrt(np.mean(ref[:n] ** 2))
+    assert num / den < 1e-5
