@@ -287,23 +287,45 @@ def _rational_groups(params):
 # no per-block K arithmetic — see rational2.py's design comment.
 # --------------------------------------------------------------------------- #
 
+def _zc_slack(params) -> int:
+    """Deficit slab count for the zero-copy K stacks, per family (must
+    match the n_deficit used at construction in params._zc_fields)."""
+    if isinstance(params, FIRRational):
+        return _max_deficit(params.interpolation, params.decimation)
+    if isinstance(params, FIRDecimator):
+        return params.decimation + 1
+    return 1  # standard / interpolator: deficit is constant 1
+
+
 def _zc_plan(params, x, dt, n_max):
     """Static zero-copy plan (groups, geometry) or None."""
     from .pallas.rational2 import zc_groups, zc_geometry
 
-    if not (isinstance(params, FIRRational) and params.k_zc_hi is not None):
+    if not (isinstance(params, (FIRStandard, FIRInterpolator, FIRDecimator,
+                                FIRRational))
+            and params.k_zc_hi is not None):
         return None
     if x.dtype != jnp.float32 or dt != jnp.float32:
         return None
-    L, M, g = params.interpolation, params.decimation, params.sc_group
-    groups = zc_groups(params.taps_per_phi, L, M, g, params.h_min,
-                       shift_slack=_max_deficit(L, M))
+    pfb2d, L, M, g = _band_geometry(params)
+    groups = zc_groups(pfb2d.shape[0], L, M, g, params.h_min,
+                       shift_slack=_zc_slack(params))
     if groups is None:
         return None
     geo = zc_geometry(g * L, g * M, n_max, x.shape[-1])
     if geo is None:
         return None
     return groups, geo
+
+
+def _carry_history(params, state, x):
+    """New history = trailing history_len samples of [old history ++ x]."""
+    H = params.history_len
+    xlen = x.shape[-1]
+    if xlen >= H:
+        return x[..., xlen - H:]
+    return jnp.concatenate(
+        [state.history[..., xlen - H:].astype(x.dtype), x], axis=-1)
 
 
 def _run_zc(params, history, phi0, d0, x, n_max, plan):
@@ -390,42 +412,52 @@ def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):
 # --------------------------------------------------------------------------- #
 
 def _standard(params: FIRStandard, state, x, path):
-    xext = _extend(state.history, x)
     dt = _out_dtype(params, x)
-    if path in ("supercycle", "pallas"):
+    n_out = x.shape[-1]
+    hist_min = state.history[..., state.history.shape[-1] - params.h_min:]
+    plan = _zc_plan(params, x, dt, n_out) if path == "pallas" else None
+    if plan is not None:
+        y = _run_zc(params, state.history.astype(x.dtype), state.phase,
+                    state.deficit, x, n_out, plan)
+    elif path in ("supercycle", "pallas"):
         one = jnp.asarray(1, jnp.int64)
-        y = _supercycle_dispatch(params, xext, one, one, x.shape[-1], dt,
-                                 path)
+        y = _supercycle_dispatch(params, _extend(hist_min, x), one, one,
+                                 n_out, dt, path)
     elif path == "conv":
-        y = _corr1d(xext, params.taps_rev.astype(dt))
+        y = _corr1d(_extend(hist_min, x), params.taps_rev.astype(dt))
     else:
-        starts = jnp.arange(x.shape[-1], dtype=jnp.int64)
-        W = _gather_windows(xext, starts, params.hlen)
+        starts = jnp.arange(n_out, dtype=jnp.int64)
+        W = _gather_windows(_extend(hist_min, x), starts, params.hlen)
         y = jnp.einsum("...nt,t->...n", W, params.taps_rev,
                        precision=prec.TAP).astype(dt)
-    new_state = FilterState(history=_new_history(xext, params.history_len),
+    new_state = FilterState(history=_carry_history(params, state, x),
                             phase=state.phase, deficit=state.deficit)
-    return y, jnp.asarray(x.shape[-1], jnp.int64), new_state
+    return y, jnp.asarray(n_out, jnp.int64), new_state
 
 
 def _interpolator(params: FIRInterpolator, state, x, path):
     L, T = params.interpolation, params.taps_per_phi
-    xext = _extend(state.history, x)
     dt = _out_dtype(params, x)
     n_out = x.shape[-1] * L
-    if path in ("supercycle", "pallas"):
+    hist_min = state.history[..., state.history.shape[-1] - params.h_min:]
+    plan = _zc_plan(params, x, dt, n_out) if path == "pallas" else None
+    if plan is not None:
+        y = _run_zc(params, state.history.astype(x.dtype), state.phase,
+                    state.deficit, x, n_out, plan)
+    elif path in ("supercycle", "pallas"):
         one = jnp.asarray(1, jnp.int64)
-        y = _supercycle_dispatch(params, xext, one, one, n_out, dt, path)
+        y = _supercycle_dispatch(params, _extend(hist_min, x), one, one,
+                                 n_out, dt, path)
     elif path == "conv":
-        Y = _corr1d(xext, params.pfb.astype(dt))          # (..., xlen, L)
+        Y = _corr1d(_extend(hist_min, x), params.pfb.astype(dt))
         y = Y.reshape(*Y.shape[:-2], n_out)
     else:
         starts = jnp.arange(x.shape[-1], dtype=jnp.int64)
-        W = _gather_windows(xext, starts, T)
+        W = _gather_windows(_extend(hist_min, x), starts, T)
         Y = jnp.einsum("...nt,tp->...np", W, params.pfb,
                        precision=prec.TAP).astype(dt)
         y = Y.reshape(*Y.shape[:-2], n_out)
-    new_state = FilterState(history=_new_history(xext, params.history_len),
+    new_state = FilterState(history=_carry_history(params, state, x),
                             phase=state.phase, deficit=state.deficit)
     return y, jnp.asarray(n_out, jnp.int64), new_state
 
@@ -433,23 +465,27 @@ def _interpolator(params: FIRInterpolator, state, x, path):
 def _decimator(params: FIRDecimator, state, x, path):
     M, T = params.decimation, params.hlen
     xlen = x.shape[-1]
-    xext = _extend(state.history, x)
     n_max = idx.max_outputs(params, xlen)
     count, _, d0_next = idx.rational_carry(1, M, 1, state.deficit, xlen)
     dt = _out_dtype(params, x)
-    if path in ("supercycle", "pallas"):
+    hist_min = state.history[..., state.history.shape[-1] - params.h_min:]
+    plan = _zc_plan(params, x, dt, n_max) if path == "pallas" else None
+    if plan is not None:
+        y = _run_zc(params, state.history.astype(x.dtype), state.phase,
+                    state.deficit, x, n_max, plan)
+    elif path in ("supercycle", "pallas"):
         one = jnp.asarray(1, jnp.int64)
-        y = _supercycle_dispatch(params, xext, one, state.deficit, n_max, dt,
-                                 path)
+        y = _supercycle_dispatch(params, _extend(hist_min, x), one,
+                                 state.deficit, n_max, dt, path)
     elif path == "conv":
-        xs = _shift_origin(xext, state.deficit, M + 1)
+        xs = _shift_origin(_extend(hist_min, x), state.deficit, M + 1)
         y = _corr1d(xs, params.taps_rev.astype(dt), stride=M)[..., :n_max]
     else:
         inp, _ = idx.rational_indices(1, M, 1, state.deficit, n_max)
-        W = _gather_windows(xext, inp - 1, T)
+        W = _gather_windows(_extend(hist_min, x), inp - 1, T)
         y = jnp.einsum("...nt,t->...n", W, params.taps_rev,
                        precision=prec.TAP).astype(dt)
-    new_state = FilterState(history=_new_history(xext, params.history_len),
+    new_state = FilterState(history=_carry_history(params, state, x),
                             phase=state.phase, deficit=d0_next)
     return y, count, new_state
 
@@ -499,14 +535,8 @@ def _rational(params: FIRRational, state, x, path):
         W = _gather_windows(xext, inp - 1, T)
         taps = jnp.take(params.pfb.T, phi, axis=0, mode="clip")
         y = _row_contract(W, taps.astype(dt)).astype(dt)
-    # new history = trailing history_len of the stream [old history ++ x]
-    H = params.history_len
-    if xlen >= H:
-        hist = x[..., xlen - H:]
-    else:
-        hist = jnp.concatenate(
-            [state.history[..., xlen - H:].astype(x.dtype), x], axis=-1)
-    new_state = FilterState(history=hist, phase=phi_next, deficit=d0_next)
+    new_state = FilterState(history=_carry_history(params, state, x),
+                            phase=phi_next, deficit=d0_next)
     return y, count, new_state
 
 

@@ -50,7 +50,7 @@ PHASE_ONE = 1 << PHASE_FRAC_BITS
 
 
 
-def _pick_group(L: int, M: int) -> int:
+def _pick_group(L: int, M: int, h_min: int = 0) -> int:
     """Supercycles per matmul row: widen degenerate ratios (small L) so the
     banded-K contraction has ~128+ output columns for the MXU, while keeping
     the row input span group*M bounded.
@@ -60,12 +60,21 @@ def _pick_group(L: int, M: int) -> int:
     row width costs a relayout copy on entry plus lane-padding on every
     HBM read. Measured on the v5e 147//160 headline: group 4 (rows of 640
     lanes) runs the grouped kernel at ~97 Gsps vs ~50 Gsps for group 2
-    (rows of 320 lanes)."""
+    (rows of 320 lanes).
+
+    ``h_min`` (the zero-copy row-span requirement, in samples: history
+    plus one 128-column group's band spread plus taps and slack) nudges
+    the group up so group*M exceeds it — the zero-copy kernel requires a
+    whole group band to fit one stream row
+    (pallas/rational2.band_groups_zc)."""
     import math
 
     base = max(2, -(-128 // L))
     step = 128 // math.gcd(M, 128)  # smallest g with (g*M) % 128 == 0
     g = -(-base // step) * step
+    while (g * M <= h_min and (g + step) * M <= 8192
+           and (g + step) * L <= 1024):
+        g += step
     # cap output columns too: g*L in the thousands explodes the banded-K
     # matrix and the kernels' VMEM blocks (arb's interp-geometry L=32 with
     # the M=1 step of 128 would give 4096 columns -> scoped-vmem OOM)
@@ -75,6 +84,30 @@ def _pick_group(L: int, M: int) -> int:
     while g > 1 and g * M > 8192:
         g //= 2
     return g
+
+
+def _zc_fields(bank2d: np.ndarray, L: int, M: int, group: int,
+               n_deficit: int):
+    """(k_zc_hi, k_zc_lo) compressed phase/deficit-indexed K stacks for
+    the zero-copy kernel, or (None, None) when the geometry or budgets
+    are inapplicable (see pallas/rational2)."""
+    if bank2d.dtype != np.float32:
+        return None, None
+    from .pallas.rational2 import build_k_zc_stack, zc_groups
+
+    T = bank2d.shape[0]
+    h_min = T - 1
+    groups = zc_groups(T, L, M, group, h_min, shift_slack=n_deficit)
+    if groups is None:
+        return None, None
+    umax = max(span for (*_, span) in groups)
+    slab_b = umax * len(groups) * 128 * 4
+    if slab_b > 4 << 20 or L * n_deficit * slab_b > 512 << 20:
+        return None, None
+    from . import precision as _prec
+
+    stack = build_k_zc_stack(bank2d, L, M, group, h_min, n_deficit, groups)
+    return _prec.split_bf16(jnp.asarray(stack))
 
 
 def _k_super(pfb2d: np.ndarray, L: int, M: int, group: int) -> "jnp.ndarray":
@@ -111,15 +144,21 @@ class FIRStandard:
 
     taps_rev: Any = _array()
     k_super: Any = _array(default=None)  # banded matmul form (see _k_super)
+    k_zc_hi: Any = _array(default=None)  # zero-copy K stacks (see _zc_fields)
+    k_zc_lo: Any = _array(default=None)
     hlen: int = 0
     sc_group: int = 1
 
     @classmethod
     def create(cls, h) -> "FIRStandard":
         h = np.asarray(h)
-        g = _pick_group(1, 1)
+        T = h.shape[0]
+        g = _pick_group(1, 1, h_min=max(T - 1, 128 + T + 1 + 24))
+        bank = h[::-1].reshape(-1, 1)
+        kh, kl = _zc_fields(np.asarray(bank, copy=True), 1, 1, g, 1)
         return cls(taps_rev=jnp.asarray(h[::-1].copy()),
-                   k_super=_k_super(h[::-1].reshape(-1, 1), 1, 1, g),
+                   k_super=_k_super(bank, 1, 1, g),
+                   k_zc_hi=kh, k_zc_lo=kl,
                    hlen=h.shape[0], sc_group=g)
 
     @property
@@ -127,7 +166,15 @@ class FIRStandard:
         return self.hlen
 
     @property
+    def h_min(self) -> int:
+        return self.hlen - 1
+
+    @property
     def history_len(self) -> int:
+        if self.k_zc_hi is not None:
+            from .pallas.rational2 import ZC_S
+
+            return ZC_S * self.sc_group
         return self.hlen - 1
 
 
@@ -138,6 +185,8 @@ class FIRInterpolator:
 
     pfb: Any = _array()  # (taps_per_phi, L), rows time-flipped
     k_super: Any = _array(default=None)
+    k_zc_hi: Any = _array(default=None)
+    k_zc_lo: Any = _array(default=None)
     interpolation: int = 1
     taps_per_phi: int = 0
     sc_group: int = 1
@@ -145,9 +194,13 @@ class FIRInterpolator:
     @classmethod
     def create(cls, h, interpolation: int) -> "FIRInterpolator":
         bank = _pfb.taps2pfb(h, interpolation)
-        g = _pick_group(interpolation, 1)
+        T = bank.shape[0]
+        g = _pick_group(interpolation, 1,
+                        h_min=max(T - 1, -(-128 // interpolation) + T + 25))
+        kh, kl = _zc_fields(np.asarray(bank), interpolation, 1, g, 1)
         return cls(pfb=jnp.asarray(bank),
                    k_super=_k_super(bank, interpolation, 1, g),
+                   k_zc_hi=kh, k_zc_lo=kl,
                    interpolation=interpolation,
                    taps_per_phi=bank.shape[0], sc_group=g)
 
@@ -156,7 +209,15 @@ class FIRInterpolator:
         return self.interpolation
 
     @property
+    def h_min(self) -> int:
+        return self.taps_per_phi - 1
+
+    @property
     def history_len(self) -> int:
+        if self.k_zc_hi is not None:
+            from .pallas.rational2 import ZC_S
+
+            return ZC_S * self.sc_group
         return self.taps_per_phi - 1
 
 
@@ -167,6 +228,8 @@ class FIRDecimator:
 
     taps_rev: Any = _array()
     k_super: Any = _array(default=None)
+    k_zc_hi: Any = _array(default=None)
+    k_zc_lo: Any = _array(default=None)
     hlen: int = 0
     decimation: int = 1
     sc_group: int = 1
@@ -174,9 +237,17 @@ class FIRDecimator:
     @classmethod
     def create(cls, h, decimation: int) -> "FIRDecimator":
         h = np.asarray(h)
-        g = _pick_group(1, decimation)
+        T = h.shape[0]
+        g = _pick_group(1, decimation,
+                        h_min=max(T - 1,
+                                  128 * decimation + T + decimation + 25))
+        bank = h[::-1].reshape(-1, 1)
+        # decimator deficit d0-1 ranges over [0, M): one slab each
+        kh, kl = _zc_fields(np.asarray(bank, copy=True), 1, decimation, g,
+                            decimation + 1)
         return cls(taps_rev=jnp.asarray(h[::-1].copy()),
-                   k_super=_k_super(h[::-1].reshape(-1, 1), 1, decimation, g),
+                   k_super=_k_super(bank, 1, decimation, g),
+                   k_zc_hi=kh, k_zc_lo=kl,
                    hlen=h.shape[0], decimation=decimation, sc_group=g)
 
     @property
@@ -184,7 +255,15 @@ class FIRDecimator:
         return self.hlen
 
     @property
+    def h_min(self) -> int:
+        return self.hlen - 1
+
+    @property
     def history_len(self) -> int:
+        if self.k_zc_hi is not None:
+            from .pallas.rational2 import ZC_S
+
+            return ZC_S * self.sc_group * self.decimation
         return self.hlen - 1
 
 
@@ -215,28 +294,14 @@ class FIRRational:
     @classmethod
     def create(cls, h, interpolation: int, decimation: int) -> "FIRRational":
         bank = _pfb.taps2pfb(h, interpolation)
-        g = _pick_group(interpolation, decimation)
-        kh = kl = None
-        if bank.dtype == np.float32:
-            from .pallas.rational2 import zc_groups, build_k_zc_stack
-
-            T = bank.shape[0]
-            h_min = T - 1
-            slack = -(-decimation // interpolation) + 1  # = _max_deficit
-            groups = zc_groups(T, interpolation, decimation, g, h_min,
-                               shift_slack=slack)
-            # budgets: one compressed K slab (hi+lo bf16) must fit VMEM,
-            # and the full (phase x deficit) stack must stay modest in HBM
-            if groups is not None:
-                umax = max(span for (_, _, _, span) in groups)
-                slab_b = umax * len(groups) * 128 * 4
-                if slab_b <= 4 << 20 and \
-                        interpolation * slack * slab_b <= 512 << 20:
-                    from . import precision as _prec
-
-                    stack = build_k_zc_stack(bank, interpolation, decimation,
-                                             g, h_min, slack, groups)
-                    kh, kl = _prec.split_bf16(jnp.asarray(stack))
+        T = bank.shape[0]
+        g = _pick_group(
+            interpolation, decimation,
+            h_min=max(T - 1, -(-128 * decimation // interpolation) + T
+                      + -(-decimation // interpolation) + 25))
+        slack = -(-decimation // interpolation) + 1  # = _max_deficit
+        kh, kl = _zc_fields(np.asarray(bank), interpolation, decimation, g,
+                            slack)
         return cls(pfb=jnp.asarray(bank),
                    k_super=_k_super(bank, interpolation, decimation, g),
                    k_zc_hi=kh, k_zc_lo=kl,
