@@ -178,9 +178,10 @@ def main():
         bench_config("arbitrary_0.4709",
                      mr.make_kernel(ha, rate=0.4709, nphi=32),
                      0.4709, ha, x, arbp)
+        farrp = ("ratgrid", "winsel") if on_tpu else ("winsel",)
         bench_config("farrow_0.4709",
                      mr.make_kernel(ha, rate=0.4709, nphi=32, polyorder=4),
-                     0.4709, ha, x, arbp)
+                     0.4709, ha, x, farrp)
         # 64-channel batched Farrow (single-chip stand-in for the sharded
         # config; the sharding overhead curve comes from the CPU mesh below)
         x64 = jnp.asarray(rng.standard_normal((64, N // 64))

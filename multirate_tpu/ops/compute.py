@@ -872,11 +872,17 @@ def _auto_path(params, x):
     if isinstance(params, FIRRational):
         return "pallas" if on_tpu else "supercycle"
     if isinstance(params, FIRFarrow) and not cx_taps:
+        # ratgrid (static banded matmul, no gathers) wins for few channels
+        # (measured v5e: 2265 vs winsel 246 Msps single-channel); wide
+        # batches amortize the chansel kernel's shared tap matrix better
+        # (4735 vs ratgrid 1346 Msps at 64 channels).
+        n_batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
         if (params.ratgrid_meta is not None
+                and n_batch < 8
                 and idx.max_outputs(params, x.shape[-1])
                 <= params.ratgrid_meta.n_cap
                 and (on_tpu or x.shape[-1] >= 4096)):
-            return "ratgrid"      # static banded matmul, no gathers at all
+            return "ratgrid"
     if isinstance(params, (FIRArbitrary, FIRFarrow)):
         if cx_taps:
             return "windows"

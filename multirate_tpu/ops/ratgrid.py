@@ -100,14 +100,17 @@ def build_ratgrid_plan(coeffs: np.ndarray, nphi: int, delta_fx: int):
     P1, T = C.shape
     s_r = [(r * delta_fx) // D for r in range(L2)]
     U = int(M2 + T + (b_max - b_min))
-    # column order (r, b, p) with p fastest: G then reshapes straight to
-    # (JJ, L2, n_b, P1) = (outputs, n_b, P1) with NO transpose.
-    K = np.zeros((U, L2 * n_b * P1), dtype=np.float64)
+    # column order (b, p, r) with r fastest: the apply reduces G with
+    # CONTIGUOUS lane slices G[:, k*L2:(k+1)*L2] per (b, p) block — a
+    # trailing (n_b, P1) axis pair would pad to the (8, 128) TPU tile and
+    # inflate G's HBM traffic ~18x (measured: the old (r, b, p) order +
+    # 3-operand einsum ran at 131 Msps, below even the winsel kernel).
+    K = np.zeros((U, n_b * P1 * L2), dtype=np.float64)
     for r in range(L2):
         for bi in range(n_b):
             for p in range(P1):
                 off = int(s_r[r] + bi)        # s_0 == 0; bi = b - b_min
-                K[off: off + T, (r * n_b + bi) * P1 + p] = C[p]
+                K[off: off + T, (bi * P1 + p) * L2 + r] = C[p]
     meta = RatgridMeta(L2, M2, int(eps), int(b_min), n_b, U, P1, T,
                        int(n_cap))
     return meta, K
@@ -123,17 +126,27 @@ def farrow_ratgrid_apply(meta, K, nphi: int, delta_fx: int, xext, u0, d0,
     JJ = n_max // L2 + 1
 
     # jj/r/s_r via 2-D iota + a static table — integer division by L2 is
-    # emulated int64 on TPU and measurably slow at vector length.
-    jj = jax.lax.broadcasted_iota(jnp.int64, (JJ, L2), 0).reshape(-1)[:n_max]
-    r = jax.lax.broadcasted_iota(jnp.int64, (JJ, L2), 1).reshape(-1)[:n_max]
+    # emulated int64 on TPU and measurably slow at vector length. All the
+    # per-output vectors stay on the (JJ, L2) grid: row jj, lane r is
+    # output n = jj*L2 + r, exactly G's natural layout.
+    jj = jax.lax.broadcasted_iota(jnp.int64, (JJ, L2), 0)
+    r = jax.lax.broadcasted_iota(jnp.int64, (JJ, L2), 1)
     n = jj * L2 + r
     u = u0 + n * delta_fx
     start = u // D                              # D is a power of two: shift
-    psi = 1.0 + (u % D).astype(jnp.float64) * (2.0 ** -PHASE_FRAC_BITS)
+    # psi in the compute dtype with NO float64 intermediate (f64 mults are
+    # software-emulated on TPU): split the fractional fix-point into two
+    # int32-exact halves and convert each on the hardware path.
+    frac = u % D                                # < nphi << 32
+    f_hi = (frac >> jnp.int64(16)).astype(jnp.int32).astype(dt)
+    f_lo = (frac & jnp.int64(0xFFFF)).astype(jnp.int32).astype(dt)
+    psi = (jnp.asarray(1.0, dt)
+           + f_hi * jnp.asarray(2.0 ** (16 - PHASE_FRAC_BITS), dt)
+           + f_lo * jnp.asarray(2.0 ** -PHASE_FRAC_BITS, dt))
     s_r_tab = jnp.asarray([(rr * delta_fx) // D for rr in range(L2)],
                           dtype=jnp.int64)
-    s_r_dev = jnp.broadcast_to(s_r_tab, (JJ, L2)).reshape(-1)[:n_max]
-    b_idx = jnp.clip(start - (jj * M2 + s_r_dev) - b_min, 0, n_b - 1)
+    b_idx = jnp.clip(start - (jj * M2 + s_r_tab[None, :]) - b_min,
+                     0, n_b - 1).astype(jnp.int32)
 
     # X3[jj, uu] = xq[jj*M2 + uu], xq = xext re-origined at
     # (d0 - 1) + b_min  (bands in K already include s_r and b - b_min).
@@ -154,10 +167,16 @@ def farrow_ratgrid_apply(meta, K, nphi: int, delta_fx: int, xext, u0, d0,
 
     G = jnp.einsum("...ju,uc->...jc", X3.astype(dt), K.astype(dt),
                    precision=jax.lax.Precision.HIGH)
-    G = G.reshape(*lead, JJ * L2, n_b, P1)[..., :n_max, :, :]
 
-    psi32 = psi.astype(dt)
-    powers = psi32[:, None] ** jnp.arange(P1, dtype=dt)[None, :]
-    sel = jax.nn.one_hot(b_idx, n_b, dtype=dt)
-    return jnp.einsum("...nbp,np,nb->...n", G, powers, sel,
-                      precision=jax.lax.Precision.HIGH).astype(dt)
+    # Reduce with n_b*P1 CONTIGUOUS (JJ, L2) lane slices of G: Horner in
+    # psi per drift band, then a band-select sum. Pure VPU elementwise on
+    # the natural grid — no one-hot matmul, no padded (n, n_b, P1) tiles.
+    y = None
+    for bi in range(n_b):
+        acc = G[..., (bi * P1 + P1 - 1) * L2: (bi * P1 + P1) * L2]
+        for p in range(P1 - 2, -1, -1):
+            acc = acc * psi + G[..., (bi * P1 + p) * L2:
+                                (bi * P1 + p + 1) * L2]
+        term = jnp.where(b_idx == jnp.int32(bi), acc, jnp.asarray(0, dt))
+        y = term if y is None else y + term
+    return y.reshape(*lead, JJ * L2)[..., :n_max]
