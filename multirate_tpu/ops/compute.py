@@ -773,7 +773,18 @@ def _arbitrary(params: FIRArbitrary, state, x, path):
     count, u_next, d0_next = idx.accum_carry(
         params.nphi, params.delta_fx, state.phase, state.deficit, xlen)
     dt = _out_dtype(params, x)
-    if path == "winsel":
+    if path == "gridsel":
+        from .gridsel import arb_gridsel_apply
+
+        if (params.gridsel_meta is None or n_max > params.gridsel_meta.n_cap
+                or dt != jnp.float32):
+            raise ValueError(
+                "no gridsel plan for this configuration/block size/dtype; "
+                "use path='winsel' or 'windows'")
+        y = arb_gridsel_apply(
+            params.gridsel_meta, params.pfb, params.dpfb, params.nphi,
+            params.delta_fx, xext, state.phase, state.deficit, n_max, dt)
+    elif path == "winsel":
         y = _arb_winsel(params, xext, state.phase, state.deficit, n_max, dt)
     elif path.startswith("phaseall"):
         y = _arb_phaseall(params, xext, state.phase, state.deficit, n_max,
@@ -810,6 +821,17 @@ def _farrow(params: FIRFarrow, state, x, path):
                 "use path='phaseall' or 'windows'")
         y = farrow_ratgrid_apply(
             params.ratgrid_meta, params.k_ratgrid, params.nphi,
+            params.delta_fx, xext, state.phase, state.deficit, n_max, dt)
+    elif path == "gridsel":
+        from .gridsel import farrow_gridsel_apply
+
+        if (params.gridsel_meta is None or n_max > params.gridsel_meta.n_cap
+                or dt != jnp.float32):
+            raise ValueError(
+                "no gridsel plan for this configuration/block size/dtype; "
+                "use path='ratgrid' or 'windows'")
+        y = farrow_gridsel_apply(
+            params.gridsel_meta, params.coeffs, params.nphi,
             params.delta_fx, xext, state.phase, state.deficit, n_max, dt)
     elif path == "winsel":
         y = _farrow_winsel(params, xext, state.phase, state.deficit, n_max,

@@ -1,0 +1,239 @@
+"""Rational-grid plan + block prep for the gridsel fused resampler.
+
+See pallas/gridsel.py for the kernel design. This module owns:
+
+- ``build_gridsel_plan``: static plan search at kernel construction. Picks
+  a rational approximation M2/L2 ~ delta_fx/D (continued-fraction
+  convergents, optionally integer-scaled so the stream row M2 is wide
+  enough for the band span) and the tile rows JT subject to the
+  one-crossing-per-tile bound JT*|eps| <= 2^32 (arb) / <= D (Farrow),
+  scored by a simple MXU+VPU cost model.
+- ``_pack_arb`` / ``_pack_farrow``: per-block exact int64 index prep
+  (traced u0/d0), emitting the packed per-(tile, column) q/phi, exact
+  crossing rows and alpha/psi tile-start values.
+- ``arb_gridsel_apply`` / ``farrow_gridsel_apply``: pad/tile x and run the
+  Pallas kernel.
+
+Reference semantics: the accumulator recurrence Filters.jl:663-673
+(arbitrary, :693-742) and :780-836 (Farrow), identical index decisions to
+ops/indexing.accum_indices.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import PHASE_FRAC_BITS
+
+__all__ = ["build_gridsel_plan", "GridselMeta", "arb_gridsel_apply",
+           "farrow_gridsel_apply"]
+
+PAD_L = 8          # left zero-pad samples: absorbs downward drift (q >= 0)
+N_CAP = 1 << 24
+_DRIFT_SLOTS = 4   # whole-window drift budget over one block
+_MIN_CAP = 1 << 16
+
+
+class GridselMeta(NamedTuple):
+    """Static gridsel plan (python ints; hashable params meta field)."""
+
+    L2: int
+    M2: int
+    eps: int
+    JT: int
+    sp2: int
+    L2p: int
+    n_cap: int
+    d_max: int
+
+
+def _convergents(num: int, den: int, max_den: int):
+    """Continued-fraction convergents p/q of num/den with q <= max_den."""
+    a, b = num, den
+    p0, q0, p1, q1 = 0, 1, 1, 0
+    out = []
+    while b:
+        k = a // b
+        a, b = b, a - k * b
+        p0, q0, p1, q1 = p1, q1, p0 + k * p1, q0 + k * q1
+        if q1 > max_den:
+            break
+        if p1 > 0:
+            out.append((p1, q1))
+    return out
+
+
+def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
+                       farrow: bool = False):
+    """GridselMeta or None when no viable geometry exists."""
+    D = nphi << PHASE_FRAC_BITS
+    d_max = delta_fx // D + 2
+    cross_lim = D if farrow else (1 << 32)
+    best, best_cost = None, None
+    for (m, l) in _convergents(delta_fx, D, 512):
+        # scale so one stream row holds the whole band span (two-segment
+        # matmul limit sp2 <= 2*M2) and is wide enough to matter
+        base = T + PAD_L + d_max + _DRIFT_SLOTS + 4
+        k = max(1, -(-max(base, 96) // m))
+        M2, L2, eps = k * m, k * l, k * (l * delta_fx - m * D)
+        if M2 + base > (1 << 10):      # q must fit _QBITS
+            continue
+        if L2 > 1024:
+            continue
+        jt = min(256, cross_lim // max(abs(eps), 1))
+        jt = (jt // 8) * 8
+        if jt < 16:
+            continue
+        if eps == 0:
+            n_cap = N_CAP
+        else:
+            n_cap = min(N_CAP, (_DRIFT_SLOTS * D // abs(eps)) * L2)
+        if n_cap < _MIN_CAP:
+            continue
+        L2p = -(-L2 // 128) * 128
+        sp2 = -(-(M2 + base) // 8) * 8
+        if sp2 > 2 * M2:
+            continue
+        nvar = (2 * (1 if farrow else 2)) * ((T + 1) if farrow else 1)
+        # cost per output, MXU MACs normalized to VPU ops (~25x thruput):
+        # matmuls contract the full sp2 rows for 4 (arb) / 2*P1-ish
+        # (farrow) column variants; placement is T compare/select stages
+        mxu = 2.0 * sp2 * nvar * (L2p / L2) / 25.0
+        vpu = 6.0 * T * sp2 * L2p / (jt * L2)
+        cost = mxu + vpu
+        if best_cost is None or cost < best_cost:
+            best_cost = cost
+            best = GridselMeta(L2, M2, int(eps), jt, sp2, L2p,
+                               int(n_cap), d_max)
+    return best
+
+
+def _pack(meta: GridselMeta, nphi: int, delta_fx: int, u0, d0,
+          tiles8: int, farrow: bool):
+    """(pk int32, rowc f32, a0 f32), each (tiles8, L2p). Exact int64."""
+    L2, M2, eps, JT, sp2, L2p, _, _ = meta
+    D = nphi << PHASE_FRAC_BITS
+    i64 = jnp.int64
+    jj0 = (jnp.arange(tiles8, dtype=i64) * JT)[:, None]
+    r = jnp.minimum(jnp.arange(L2p, dtype=i64), L2 - 1)[None, :]
+    w0 = u0.astype(i64) + r * delta_fx + jj0 * eps
+    if farrow:
+        b = w0 // D
+        rem = w0 - b * D                       # in [0, D)
+        q = (d0.astype(i64) - 1) + b + PAD_L
+        pk = q.astype(jnp.int32)
+        scale = D
+    else:
+        k = w0 >> 32
+        rem = w0 - (k << 32)                   # in [0, 2^32)
+        b = k // nphi
+        phi = (k - b * nphi).astype(jnp.int32)
+        q = (d0.astype(i64) - 1) + b + PAD_L
+        pk = q.astype(jnp.int32) | (phi << jnp.int32(10))
+        scale = 1 << 32
+    if eps > 0:
+        rowc = (scale - rem + (eps - 1)) // eps
+    elif eps < 0:
+        rowc = rem // (-eps) + 1
+    else:
+        rowc = jnp.full_like(rem, JT)
+    rowc = jnp.clip(rowc, 0, JT).astype(jnp.int32).astype(jnp.float32)
+    # tile-start alpha (arb, units of one bank) / psi (farrow, 1-based
+    # continuous phase) in f32 with int32-exact halves (no f64 mults)
+    hi = (rem >> 16).astype(jnp.int32).astype(jnp.float32)
+    lo = (rem & jnp.int64(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    if farrow:
+        a0 = (jnp.float32(1.0) + hi * jnp.float32(2.0 ** -16)
+              + lo * jnp.float32(2.0 ** -32))
+    else:
+        a0 = hi * jnp.float32(2.0 ** -16) + lo * jnp.float32(2.0 ** -32)
+    return pk, rowc, a0
+
+
+def _tile_x(xext, meta: GridselMeta, num_tiles: int):
+    """Left/right-padded (..., R, M2) view of xext for the kernel."""
+    L2, M2 = meta.L2, meta.M2
+    R = num_tiles * meta.JT + 8
+    lead = xext.shape[:-1]
+    pad_r = R * M2 - PAD_L - xext.shape[-1]
+    zl = jnp.zeros((*lead, PAD_L), xext.dtype)
+    zr = jnp.zeros((*lead, max(pad_r, 0)), xext.dtype)
+    xq = jnp.concatenate([zl, xext, zr], axis=-1)[..., :R * M2]
+    return xq.reshape(*lead, R, M2)
+
+
+def _geometry(meta: GridselMeta, n_max: int):
+    J_total = -(-n_max // meta.L2)
+    num_tiles = -(-J_total // meta.JT)
+    tiles8 = -(-num_tiles // 8) * 8
+    return num_tiles, tiles8
+
+
+def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
+                      delta_fx: int, xext, u0, d0, n_max: int, dt):
+    """Arbitrary resample of one block through the gridsel kernel."""
+    from .pallas.gridsel import gridsel_resample_arb
+
+    L2, M2, eps, JT, sp2, L2p, _, _ = meta
+    num_tiles, tiles8 = _geometry(meta, n_max)
+    pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
+                         farrow=False)
+    x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles)
+    T = pfb.shape[0]
+    T8 = -(-T // 8) * 8
+    bp = jnp.zeros((T8, nphi), jnp.float32).at[:T].set(
+        pfb.astype(jnp.float32))
+    bd = jnp.zeros((T8, nphi), jnp.float32).at[:T].set(
+        dpfb.astype(jnp.float32))
+    interp = jax.default_backend() != "tpu"
+    kw = dict(JT=JT, M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
+              dir_=(0 if eps == 0 else (1 if eps > 0 else -1)),
+              deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
+              interpret=interp)
+
+    def run(xv):
+        y = gridsel_resample_arb(xv, pk, rowc, a0, bp, bd, **kw)
+        return y.reshape(num_tiles * JT * L2)[:n_max]
+
+    if x2d.ndim == 2:
+        return run(x2d).astype(dt)
+    lead = x2d.shape[:-2]
+    out = jax.vmap(run)(x2d.reshape(-1, *x2d.shape[-2:]))
+    return out.reshape(*lead, n_max).astype(dt)
+
+
+def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
+                         delta_fx: int, xext, u0, d0, n_max: int, dt):
+    """Farrow resample of one block through the gridsel kernel."""
+    from .pallas.gridsel import gridsel_resample_farrow
+
+    L2, M2, eps, JT, sp2, L2p, _, _ = meta
+    num_tiles, tiles8 = _geometry(meta, n_max)
+    pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
+                         farrow=True)
+    x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles)
+    P1, T = coeffs.shape
+    P8 = -(-P1 // 8) * 8
+    T8 = -(-T // 8) * 8
+    cf = jnp.zeros((P8, T8), jnp.float32).at[:P1, :T].set(
+        coeffs.astype(jnp.float32))
+    interp = jax.default_backend() != "tpu"
+    # Farrow's only crossing is the window step: psi jumps by -dir*nphi
+    kw = dict(JT=JT, M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
+              P1=P1, dir_=(0 if eps == 0 else (1 if eps > 0 else -1)),
+              deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
+              interpret=interp)
+
+    def run(xv):
+        y = gridsel_resample_farrow(xv, pk, rowc, a0, cf, **kw)
+        return y.reshape(num_tiles * JT * L2)[:n_max]
+
+    if x2d.ndim == 2:
+        return run(x2d).astype(dt)
+    lead = x2d.shape[:-2]
+    out = jax.vmap(run)(x2d.reshape(-1, *x2d.shape[-2:]))
+    return out.reshape(*lead, n_max).astype(dt)

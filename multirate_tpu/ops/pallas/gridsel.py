@@ -1,0 +1,224 @@
+"""Rational-grid tile-adaptive fused arbitrary resampler ("gridsel").
+
+The single-channel arbitrary resampler is VPU-floor-bound in the winsel
+kernels (~1 vreg-op per 8 outputs of per-output select work — select3.py)
+and the batched chansel kernel's amortization needs many channels sharing
+one phase accumulator (select4.py). This kernel finds the batch axis
+INSIDE a single channel: on the rational grid of the convergent
+M2/L2 ~ delta_fx/D, output n = jj*L2 + r has window start
+
+    start_n = jj*M2 + (d0 - 1) + w div D,   w = u0 + r*delta + jj*eps
+
+with eps = L2*delta - M2*D the tiny convergent residue. For a TILE of JT
+consecutive jj rows the per-column (window offset q, bank phi, alpha)
+structure is *constant up to at most one sub-bank crossing* (JT chosen so
+JT*|eps| <= 2^32), so the tile's resample is ONE matmul
+
+    Y (JT, L2) = X (JT, 2*M2) @ K (2*M2, L2-cols)
+
+against a tap matrix K built IN-KERNEL per tile (chansel-style
+compare-placement, T VPU stages, amortized over JT*L2 outputs) with TWO
+variants per column — before/after the crossing — selected per output row
+by an exact crossing-row mask. The interpolation alpha is affine in the
+row index (alpha = alpha0_r + row*eps/2^32, wrapped by the same mask), so
+the whole irregular resample is MXU matmuls + elementwise VPU work: no
+gathers, no per-output lane ops, no NPHI-times interpolated stream.
+
+Reference semantics preserved exactly: window start / bank index / alpha
+are the reference accumulator recurrence (Filters.jl:663-673, 693-742) in
+closed form; index decisions are exact int64 (packed host-side), only
+alpha carries the usual f32 quantization (~1e-7, inside the 1e-4 budget).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["gridsel_resample_arb", "gridsel_resample_farrow"]
+
+_HI = jax.lax.Precision.HIGHEST
+_QBITS = 10          # window offset q within the 2-row span (< 1024)
+
+
+def _variant_b(qA, phA, nphi: int, dir_: int):
+    """(qB, phB): the sub-bank step after the tile's crossing. dir_ is the
+    static sign of eps (0 = no drift: variant B unused, keep A)."""
+    if dir_ == 0:
+        return qA, phA
+    phR = phA + jnp.int32(dir_)
+    qB = (qA
+          + jnp.where(phR == jnp.int32(nphi), jnp.int32(1), jnp.int32(0))
+          - jnp.where(phR < jnp.int32(0), jnp.int32(1), jnp.int32(0)))
+    phB = jnp.where(phR == jnp.int32(nphi), jnp.int32(0),
+                    jnp.where(phR < jnp.int32(0), jnp.int32(nphi - 1), phR))
+    return qB, phB
+
+
+def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
+                JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
+                L2p: int, dir_: int, deps: float):
+    f32 = jnp.float32
+    sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
+    pk = pk_ref[sub, :]                                   # (L2p,) int32
+    rowc = rowc_ref[sub, :]                               # (L2p,) f32
+    a0 = a0_ref[sub, :]                                   # (L2p,) f32
+    qA = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
+    phA = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
+    qB, phB = _variant_b(qA, phA, nphi, dir_)
+
+    # per-column tap vectors for both variants: tiny one-hot matmuls
+    # against the VMEM-resident banks (T128, nphi)
+    iop = jax.lax.broadcasted_iota(jnp.int32, (nphi, L2p), 0)
+    ohA = (iop == phA[None, :]).astype(f32)
+    ohB = (iop == phB[None, :]).astype(f32)
+    bp, bd = bp_ref[...], bd_ref[...]
+    tpA = jnp.dot(bp, ohA, precision=_HI, preferred_element_type=f32)
+    tdA = jnp.dot(bd, ohA, precision=_HI, preferred_element_type=f32)
+    tpB = jnp.dot(bp, ohB, precision=_HI, preferred_element_type=f32)
+    tdB = jnp.dot(bd, ohB, precision=_HI, preferred_element_type=f32)
+
+    # banded placement: K[q_col + t, col] = taps[t, col], T compare stages
+    iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
+    z = jnp.float32(0.0)
+    kAp = jnp.zeros((sp2, L2p), f32)
+    kAd = jnp.zeros((sp2, L2p), f32)
+    kBp = jnp.zeros((sp2, L2p), f32)
+    kBd = jnp.zeros((sp2, L2p), f32)
+    for t in range(T):
+        mA = iou == (qA + jnp.int32(t))[None, :]
+        mB = iou == (qB + jnp.int32(t))[None, :]
+        kAp = kAp + jnp.where(mA, tpA[t:t + 1, :], z)
+        kAd = kAd + jnp.where(mA, tdA[t:t + 1, :], z)
+        kBp = kBp + jnp.where(mB, tpB[t:t + 1, :], z)
+        kBd = kBd + jnp.where(mB, tdB[t:t + 1, :], z)
+
+    xcat = jnp.concatenate([xa[:], xb[:]], axis=0)        # (JT+8, M2)
+    v1 = pltpu.roll(xcat, jnp.int32(xcat.shape[0] - 1), axis=0)
+    s2 = sp2 - M2
+
+    def mm(K):
+        acc = jnp.dot(xcat[:JT, :], K[:M2], precision=_HI,
+                      preferred_element_type=f32)
+        return acc + jnp.dot(v1[:JT, :s2], K[M2:sp2], precision=_HI,
+                             preferred_element_type=f32)
+
+    GpA, GdA = mm(kAp), mm(kAd)
+    GpB, GdB = mm(kBp), mm(kBd)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
+    alin = a0[None, :] + row * jnp.float32(deps)
+    mask = row >= rowc[None, :]
+    y = jnp.where(mask, GpB + (alin - jnp.float32(dir_)) * GdB,
+                  GpA + alin * GdA)
+    o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
+
+
+def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
+                   JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
+                   L2p: int, P1: int, dir_: int, deps: float):
+    # Farrow: taps are a single polynomial in the continuous phase psi
+    # (coeffs fitted across ALL banks, ops/pfb.pfb2pnfb), so the only
+    # crossing is the window step (w crossing a multiple of D): variant B
+    # is q +- 1 with psi jumping by -+ nphi. Columns carry P1 power slices
+    # per variant; psi-Horner runs per row after the matmul.
+    f32 = jnp.float32
+    sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
+    pk = pk_ref[sub, :]
+    rowc = rowc_ref[sub, :]
+    a0 = a0_ref[sub, :]                                   # psi0 (1-based)
+    qA = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
+    qB = qA + jnp.int32(dir_)
+
+    iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
+    z = jnp.float32(0.0)
+    cf = cf_ref[...]                                      # (P1pad8, T128)
+    ks = [jnp.zeros((sp2, L2p), f32) for _ in range(2 * P1)]
+    for t in range(T):
+        mA = iou == (qA + jnp.int32(t))[None, :]
+        mB = iou == (qB + jnp.int32(t))[None, :]
+        for p in range(P1):
+            c = cf[p:p + 1, t:t + 1]                      # (1, 1) scalar tap
+            ks[p] = ks[p] + jnp.where(mA, c, z)
+            ks[P1 + p] = ks[P1 + p] + jnp.where(mB, c, z)
+
+    xcat = jnp.concatenate([xa[:], xb[:]], axis=0)
+    v1 = pltpu.roll(xcat, jnp.int32(xcat.shape[0] - 1), axis=0)
+    s2 = sp2 - M2
+
+    def mm(K):
+        acc = jnp.dot(xcat[:JT, :], K[:M2], precision=_HI,
+                      preferred_element_type=f32)
+        return acc + jnp.dot(v1[:JT, :s2], K[M2:sp2], precision=_HI,
+                             preferred_element_type=f32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
+    plin = a0[None, :] + row * jnp.float32(deps)
+    psiA = plin
+    psiB = plin - jnp.float32(dir_ * nphi)
+    accA = mm(ks[P1 - 1])
+    accB = mm(ks[2 * P1 - 1])
+    for p in range(P1 - 2, -1, -1):
+        accA = accA * psiA + mm(ks[p])
+        accB = accB * psiB + mm(ks[P1 + p])
+    mask = row >= rowc[None, :]
+    y = jnp.where(mask, accB, accA)
+    o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
+
+
+def _launch(kern, packs, xblocks, banks, meta, num_tiles, interpret):
+    JT, M2, sp2, L2, L2p = meta
+    pk, rowc, a0 = packs
+    x2d = xblocks
+    rps = JT // 8
+    g8 = lambda j: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
+    bank_specs = [pl.BlockSpec(b.shape, lambda j: (j * 0, j * 0))
+                  for b in banks]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L2), jnp.float32),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, L2p), g8),
+            pl.BlockSpec((8, L2p), g8),
+            pl.BlockSpec((8, L2p), g8),
+            pl.BlockSpec((JT, M2), lambda j: (j, j * 0)),
+            pl.BlockSpec((8, M2), lambda j: ((j + 1) * rps, j * 0)),
+            *bank_specs,
+        ],
+        out_specs=pl.BlockSpec((JT, L2), lambda j: (j, j * 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pk, rowc, a0, x2d, x2d, *banks)
+
+
+def gridsel_resample_arb(x2d, pk, rowc, a0, bp, bd, *, JT, M2, sp2, T,
+                         nphi, L2, L2p, dir_, deps, num_tiles,
+                         interpret=False):
+    """One-channel arbitrary resample over pre-tiled ``x2d`` (R, M2).
+
+    pk/rowc/a0: (tiles8, L2p) per-(tile, column) packed indices / exact
+    crossing rows / alpha at tile start (see ops/gridsel._pack_arb).
+    Returns (num_tiles*JT, L2) float32; caller flattens and slices.
+    """
+    kern = functools.partial(_kernel_arb, JT=JT, M2=M2, sp2=sp2, T=T,
+                             nphi=nphi, L2=L2, L2p=L2p, dir_=dir_,
+                             deps=deps)
+    return _launch(kern, (pk, rowc, a0), x2d, (bp, bd),
+                   (JT, M2, sp2, L2, L2p), num_tiles, interpret)
+
+
+def gridsel_resample_farrow(x2d, pk, rowc, a0, cf, *, JT, M2, sp2, T,
+                            nphi, L2, L2p, P1, dir_, deps, num_tiles,
+                            interpret=False):
+    """One-channel Farrow resample over pre-tiled ``x2d`` (R, M2)."""
+    kern = functools.partial(_kernel_farrow, JT=JT, M2=M2, sp2=sp2, T=T,
+                             nphi=nphi, L2=L2, L2p=L2p, P1=P1, dir_=dir_,
+                             deps=deps)
+    return _launch(kern, (pk, rowc, a0), x2d, (cf,),
+                   (JT, M2, sp2, L2, L2p), num_tiles, interpret)

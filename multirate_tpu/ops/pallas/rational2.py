@@ -382,6 +382,10 @@ def build_k_zc_stack(pfb2d: np.ndarray, L: int, M: int, group: int,
     return out
 
 
+# Experiment knob: force the zc kernel's tile rows (exp/exp9_zc_sweep.py).
+ZC_JT_OVERRIDE: int | None = None
+
+
 def zc_geometry(L: int, M: int, n_out: int, xlen: int, JT: int | None = None):
     """Static grid geometry (JT, num_tiles, T_ok, R), or None when the
     zero-copy path cannot cover at least one full main tile. L/M are the
@@ -390,7 +394,7 @@ def zc_geometry(L: int, M: int, n_out: int, xlen: int, JT: int | None = None):
     S = ZC_S
     R = xlen // M
     if JT is None:
-        JT = max(S, min(256, (131072 // M) // S * S))
+        JT = ZC_JT_OVERRIDE or max(S, min(256, (131072 // M) // S * S))
     J_total = -(-n_out // L)
     num_tiles = -(-J_total // JT)
     T_ok = min(num_tiles, max(0, (R - S) // JT))

@@ -369,6 +369,7 @@ class FIRArbitrary:
     rate: float = 1.0
     delta_fx: int = 0  # nphi/rate in PHASE_FRAC_BITS fixed point
     sc_group: int = 1
+    gridsel_meta: tuple | None = None
 
     @classmethod
     def create(cls, h, rate: float, nphi: int = 32) -> "FIRArbitrary":
@@ -379,11 +380,14 @@ class FIRArbitrary:
         bank = _pfb.taps2pfb(h, nphi)
         dbank = _pfb.taps2pfb(dh, nphi)
         g = _pick_group(nphi, 1)
+        dfx = _delta_fx(nphi, float(rate))
+        from .gridsel import build_gridsel_plan
+        gs_meta = build_gridsel_plan(nphi, dfx, bank.shape[0])
         return cls(pfb=jnp.asarray(bank), dpfb=jnp.asarray(dbank),
                    kq_super=_k_super(bank, nphi, 1, g),
                    kdq_super=_k_super(dbank, nphi, 1, g),
                    nphi=nphi, taps_per_phi=bank.shape[0], rate=float(rate),
-                   delta_fx=_delta_fx(nphi, float(rate)), sc_group=g)
+                   delta_fx=dfx, sc_group=g, gridsel_meta=gs_meta)
 
     @property
     def history_len(self) -> int:
@@ -413,6 +417,7 @@ class FIRFarrow:
     polyorder: int = 4
     sc_group: int = 1
     ratgrid_meta: tuple | None = None
+    gridsel_meta: tuple | None = None
 
     @classmethod
     def create(cls, h, rate: float, nphi: int, polyorder: int) -> "FIRFarrow":
@@ -429,12 +434,14 @@ class FIRFarrow:
         dfx = _delta_fx(nphi, float(rate))
         from .ratgrid import build_ratgrid_plan
         rg_meta, rg_k = build_ratgrid_plan(C, nphi, dfx)
+        from .gridsel import build_gridsel_plan
+        gs_meta = build_gridsel_plan(nphi, dfx, bank.shape[0], farrow=True)
         return cls(pfb=jnp.asarray(bank), coeffs=jnp.asarray(C),
                    kf_super=_k_super(cbank, P1, 1, g),
                    k_ratgrid=None if rg_k is None else jnp.asarray(rg_k),
                    nphi=nphi, taps_per_phi=bank.shape[0], rate=float(rate),
                    delta_fx=dfx, polyorder=polyorder,
-                   sc_group=g, ratgrid_meta=rg_meta)
+                   sc_group=g, ratgrid_meta=rg_meta, gridsel_meta=gs_meta)
 
     @property
     def history_len(self) -> int:

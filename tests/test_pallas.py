@@ -297,3 +297,56 @@ def test_chansel_streaming_chunked(rng):
     n = min(yc.shape[-1], whole.shape[-1])
     np.testing.assert_allclose(yc[..., :n], whole[..., :n],
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("rate", [0.4709, 1.0 + 1e-9, 1.7, 0.9173])
+def test_gridsel_arb_matches_windows(rng, rate):
+    """gridsel (rational-grid tile-adaptive fused kernel): arbitrary
+    resampler vs the windows oracle. Index decisions exact; alpha at f32
+    (~1e-7)."""
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    x = rng.standard_normal(9000).astype(np.float32)
+    p = mr.make_kernel(h, rate=rate, nphi=32)
+    assert p.gridsel_meta is not None
+    ref = np.asarray(mr.filt(h, x, rate, 32, path="windows"))
+    y = np.asarray(mr.filt(h, x, rate, 32, path="gridsel"))
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("rate", [0.4709, 1.7, 3.2])
+def test_gridsel_farrow_matches_windows(rng, rate):
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    x = rng.standard_normal(9000).astype(np.float32)
+    ref = np.asarray(mr.filt(h, x, rate, 32, 4, path="windows"))
+    y = np.asarray(mr.filt(h, x, rate, 32, 4, path="gridsel"))
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_gridsel_streaming_chunked(rng):
+    """Chunked streaming through gridsel (traced u0/deficit in the packed
+    index prep) == whole-vector, for arb and Farrow, odd chunk size."""
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    x = rng.standard_normal(30000).astype(np.float32)
+    for extra in ((), (4,)):
+        ref = np.asarray(mr.filt(h, x, 0.87654321, 32, *extra,
+                                 path="windows"))
+        f = mr.FIRFilter(h, 0.87654321, nphi=32,
+                         polyorder=(4 if extra else None), path="gridsel")
+        got = np.concatenate([np.asarray(f.filt(x[i:i + 7321]))
+                              for i in range(0, 30000, 7321)])
+        n = min(got.shape[-1], ref.shape[-1])
+        np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-5, atol=2e-5)
+
+
+def test_gridsel_batched(rng):
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    xb = rng.standard_normal((3, 6000)).astype(np.float32)
+    ref = np.asarray(mr.filt(h, xb, 0.77, 32, path="windows"))
+    y = np.asarray(mr.filt(h, xb, 0.77, 32, path="gridsel"))
+    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
