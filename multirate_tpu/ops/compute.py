@@ -628,6 +628,28 @@ def _farrow_phaseall(params: FIRFarrow, xext, u0, d0, n_max, dt, path):
                       precision=prec.TAP).astype(dt)
 
 
+def _chansel_blocks(xs, run_v4, n_max):
+    """Run the batched chansel kernel over arbitrary channel counts: pad
+    the channel axis to the 8-sublane quantum and chunk at 128 channels
+    (the kernel's VMEM block height). ``run_v4`` maps (C8, E) -> (C8,
+    n_max) for any C8 that is a multiple of 8."""
+    lead = xs.shape[:-1]
+    C = int(np.prod(lead)) if lead else 1
+    x2 = xs.reshape(C, xs.shape[-1])
+    outs = []
+    for c0 in range(0, C, 128):
+        blk = x2[c0:min(c0 + 128, C)]
+        cb = blk.shape[0]
+        c8 = -(-cb // 8) * 8
+        if c8 != cb:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((c8 - cb, blk.shape[-1]), blk.dtype)],
+                axis=0)
+        outs.append(run_v4(blk)[:cb])
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out.reshape(*lead, n_max)
+
+
 def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
     """Fully fused arbitrary resample: closed-form (window start, phase,
     alpha) vectors feed one Pallas kernel that builds per-output taps from
@@ -658,16 +680,12 @@ def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
             # MXU-bound, vs the per-output VPU work of the v3 kernel
             from .pallas.select4 import chan_resample_v4, v4_geometry
 
-            lead = xs.shape[:-1]
-            C = int(np.prod(lead)) if lead else 1
-            if C % 8 == 0 and v4_geometry(
-                    params.nphi, params.delta_fx, params.taps_per_phi,
-                    n_max, C) is not None:
-                out = chan_resample_v4(
-                    xs.reshape(C, xs.shape[-1]), u0, params.pfb,
-                    params.dpfb, params.nphi, params.delta_fx, n_max,
-                    interpret=interp)
-                return out.reshape(*lead, n_max)
+            if v4_geometry(params.nphi, params.delta_fx,
+                           params.taps_per_phi, n_max, 8) is not None:
+                run = lambda blk: chan_resample_v4(  # noqa: E731
+                    blk, u0, params.pfb, params.dpfb, params.nphi,
+                    params.delta_fx, n_max, interpret=interp)
+                return _chansel_blocks(xs, run, n_max)
         run3 = lambda xv: window_resample_v3(  # noqa: E731
             xv, u0, params.pfb, params.dpfb, params.nphi,
             params.delta_fx, n_max, interpret=interp)
@@ -721,16 +739,12 @@ def _farrow_winsel(params: FIRFarrow, xext, u0, d0, n_max, dt):
             from .pallas.select4 import (chan_resample_farrow_v4,
                                          v4_geometry)
 
-            lead = xs.shape[:-1]
-            C = int(np.prod(lead)) if lead else 1
-            if C % 8 == 0 and v4_geometry(
-                    params.nphi, params.delta_fx, params.taps_per_phi,
-                    n_max, C) is not None:
-                out = chan_resample_farrow_v4(
-                    xs.reshape(C, xs.shape[-1]), u0, params.coeffs,
-                    params.nphi, params.delta_fx, n_max,
-                    interpret=interp)
-                return out.reshape(*lead, n_max)
+            if v4_geometry(params.nphi, params.delta_fx,
+                           params.taps_per_phi, n_max, 8) is not None:
+                run = lambda blk: chan_resample_farrow_v4(  # noqa: E731
+                    blk, u0, params.coeffs, params.nphi,
+                    params.delta_fx, n_max, interpret=interp)
+                return _chansel_blocks(xs, run, n_max)
         run3 = lambda xv: window_resample_farrow_v3(  # noqa: E731
             xv, u0, params.coeffs, params.nphi, params.delta_fx, n_max,
             interpret=interp)

@@ -39,10 +39,42 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import precision as prec
+
 __all__ = ["gridsel_resample_arb", "gridsel_resample_farrow"]
 
 _HI = jax.lax.Precision.HIGHEST
 _QBITS = 10          # window offset q within the 2-row span (< 1024)
+
+
+def _make_mm(xcat, JT: int, M2: int, sp2: int, three_pass: bool):
+    """K -> (JT, cols) contraction of the 2-row-segment window. With
+    three_pass, x is bf16-hi/lo split once per tile and each K is split
+    at use (the zc kernel's 3-pass trick: ~2^-16 relative error, well
+    inside the 1e-4 budget, at half the MXU passes of HIGHEST)."""
+    f32 = jnp.float32
+    v1 = pltpu.roll(xcat, jnp.int32(xcat.shape[0] - 1), axis=0)
+    s2 = sp2 - M2
+    if not three_pass:
+        def mm(K):
+            acc = jnp.dot(xcat[:JT, :], K[:M2], precision=_HI,
+                          preferred_element_type=f32)
+            return acc + jnp.dot(v1[:JT, :s2], K[M2:sp2], precision=_HI,
+                                 preferred_element_type=f32)
+        return mm
+    x0h, x0l = prec.split_bf16(xcat[:JT, :])
+    x1h, x1l = prec.split_bf16(v1[:JT, :s2])
+
+    def mm(K):
+        kh, kl = prec.split_bf16(K[:M2])
+        acc = (jnp.dot(x0h, kh, preferred_element_type=f32)
+               + jnp.dot(x0h, kl, preferred_element_type=f32)
+               + jnp.dot(x0l, kh, preferred_element_type=f32))
+        kh2, kl2 = prec.split_bf16(K[M2:sp2])
+        return (acc + jnp.dot(x1h, kh2, preferred_element_type=f32)
+                + jnp.dot(x1h, kl2, preferred_element_type=f32)
+                + jnp.dot(x1l, kh2, preferred_element_type=f32))
+    return mm
 
 
 def _variant_b(qA, phA, nphi: int, dir_: int):
@@ -61,7 +93,7 @@ def _variant_b(qA, phA, nphi: int, dir_: int):
 
 def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
                 JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
-                L2p: int, dir_: int, deps: float):
+                L2p: int, dir_: int, deps: float, three_pass: bool):
     f32 = jnp.float32
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
     pk = pk_ref[sub, :]                                   # (L2p,) int32
@@ -98,15 +130,7 @@ def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
         kBd = kBd + jnp.where(mB, tdB[t:t + 1, :], z)
 
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)        # (JT+8, M2)
-    v1 = pltpu.roll(xcat, jnp.int32(xcat.shape[0] - 1), axis=0)
-    s2 = sp2 - M2
-
-    def mm(K):
-        acc = jnp.dot(xcat[:JT, :], K[:M2], precision=_HI,
-                      preferred_element_type=f32)
-        return acc + jnp.dot(v1[:JT, :s2], K[M2:sp2], precision=_HI,
-                             preferred_element_type=f32)
-
+    mm = _make_mm(xcat, JT, M2, sp2, three_pass)
     GpA, GdA = mm(kAp), mm(kAd)
     GpB, GdB = mm(kBp), mm(kBd)
 
@@ -120,7 +144,8 @@ def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
 
 def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
                    JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
-                   L2p: int, P1: int, dir_: int, deps: float):
+                   L2p: int, P1: int, dir_: int, deps: float,
+                   three_pass: bool):
     # Farrow: taps are a single polynomial in the continuous phase psi
     # (coeffs fitted across ALL banks, ops/pfb.pfb2pnfb), so the only
     # crossing is the window step (w crossing a multiple of D): variant B
@@ -147,15 +172,7 @@ def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
             ks[P1 + p] = ks[P1 + p] + jnp.where(mB, c, z)
 
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)
-    v1 = pltpu.roll(xcat, jnp.int32(xcat.shape[0] - 1), axis=0)
-    s2 = sp2 - M2
-
-    def mm(K):
-        acc = jnp.dot(xcat[:JT, :], K[:M2], precision=_HI,
-                      preferred_element_type=f32)
-        return acc + jnp.dot(v1[:JT, :s2], K[M2:sp2], precision=_HI,
-                             preferred_element_type=f32)
-
+    mm = _make_mm(xcat, JT, M2, sp2, three_pass)
     row = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
     plin = a0[None, :] + row * jnp.float32(deps)
     psiA = plin
@@ -199,26 +216,26 @@ def _launch(kern, packs, xblocks, banks, meta, num_tiles, interpret):
 
 def gridsel_resample_arb(x2d, pk, rowc, a0, bp, bd, *, JT, M2, sp2, T,
                          nphi, L2, L2p, dir_, deps, num_tiles,
-                         interpret=False):
+                         three_pass=True, interpret=False):
     """One-channel arbitrary resample over pre-tiled ``x2d`` (R, M2).
 
     pk/rowc/a0: (tiles8, L2p) per-(tile, column) packed indices / exact
-    crossing rows / alpha at tile start (see ops/gridsel._pack_arb).
+    crossing rows / alpha at tile start (see ops/gridsel._pack).
     Returns (num_tiles*JT, L2) float32; caller flattens and slices.
     """
     kern = functools.partial(_kernel_arb, JT=JT, M2=M2, sp2=sp2, T=T,
                              nphi=nphi, L2=L2, L2p=L2p, dir_=dir_,
-                             deps=deps)
+                             deps=deps, three_pass=three_pass)
     return _launch(kern, (pk, rowc, a0), x2d, (bp, bd),
                    (JT, M2, sp2, L2, L2p), num_tiles, interpret)
 
 
 def gridsel_resample_farrow(x2d, pk, rowc, a0, cf, *, JT, M2, sp2, T,
                             nphi, L2, L2p, P1, dir_, deps, num_tiles,
-                            interpret=False):
+                            three_pass=True, interpret=False):
     """One-channel Farrow resample over pre-tiled ``x2d`` (R, M2)."""
     kern = functools.partial(_kernel_farrow, JT=JT, M2=M2, sp2=sp2, T=T,
                              nphi=nphi, L2=L2, L2p=L2p, P1=P1, dir_=dir_,
-                             deps=deps)
+                             deps=deps, three_pass=three_pass)
     return _launch(kern, (pk, rowc, a0), x2d, (cf,),
                    (JT, M2, sp2, L2, L2p), num_tiles, interpret)

@@ -302,8 +302,7 @@ def test_chansel_streaming_chunked(rng):
 @pytest.mark.parametrize("rate", [0.4709, 1.0 + 1e-9, 1.7, 0.9173])
 def test_gridsel_arb_matches_windows(rng, rate):
     """gridsel (rational-grid tile-adaptive fused kernel): arbitrary
-    resampler vs the windows oracle. Index decisions exact; alpha at f32
-    (~1e-7)."""
+    resampler vs the windows oracle. Index decisions exact; alpha/taps at the designed bf16x3 budget (~2^-16)."""
     h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
          ).astype(np.float32)
     x = rng.standard_normal(9000).astype(np.float32)
@@ -312,7 +311,7 @@ def test_gridsel_arb_matches_windows(rng, rate):
     ref = np.asarray(mr.filt(h, x, rate, 32, path="windows"))
     y = np.asarray(mr.filt(h, x, rate, 32, path="gridsel"))
     assert y.shape == ref.shape
-    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("rate", [0.4709, 1.7, 3.2])
@@ -323,7 +322,7 @@ def test_gridsel_farrow_matches_windows(rng, rate):
     ref = np.asarray(mr.filt(h, x, rate, 32, 4, path="windows"))
     y = np.asarray(mr.filt(h, x, rate, 32, 4, path="gridsel"))
     assert y.shape == ref.shape
-    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
 
 
 def test_gridsel_streaming_chunked(rng):
@@ -340,7 +339,7 @@ def test_gridsel_streaming_chunked(rng):
         got = np.concatenate([np.asarray(f.filt(x[i:i + 7321]))
                               for i in range(0, 30000, 7321)])
         n = min(got.shape[-1], ref.shape[-1])
-        np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-4, atol=2e-4)
 
 
 def test_gridsel_batched(rng):
@@ -349,4 +348,17 @@ def test_gridsel_batched(rng):
     xb = rng.standard_normal((3, 6000)).astype(np.float32)
     ref = np.asarray(mr.filt(h, xb, 0.77, 32, path="windows"))
     y = np.asarray(mr.filt(h, xb, 0.77, 32, path="gridsel"))
-    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("C", [3, 12, 130])
+def test_chansel_any_channel_count(rng, C):
+    """chansel generalization: channel padding to the 8-sublane quantum
+    and 128-channel chunking (ROADMAP completeness item)."""
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    xb = rng.standard_normal((C, 4000)).astype(np.float32)
+    for extra in ((), (4,)):
+        ref = np.asarray(mr.filt(h, xb, 0.77, 32, *extra, path="windows"))
+        y = np.asarray(mr.filt(h, xb, 0.77, 32, *extra, path="winsel"))
+        np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
