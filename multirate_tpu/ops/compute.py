@@ -881,8 +881,9 @@ _IMPL = {
 
 
 def _auto_path(params, x):
-    # Complex *taps* force the universal windows path; complex signals with
-    # real taps go planar through the fast paths (see filt_block_raw).
+    # Complex signals with real taps go planar through the fast paths;
+    # complex TAPS split into re/im bank halves (see filt_block_raw) so
+    # every family keeps its fast path.
     cx_taps = jnp.issubdtype(
         (params.taps_rev if hasattr(params, "taps_rev") else params.pfb).dtype,
         jnp.complexfloating)
@@ -907,11 +908,12 @@ def _auto_path(params, x):
         return "pallas" if on_tpu else "conv"
     if isinstance(params, FIRRational):
         return "pallas" if on_tpu else "supercycle"
-    if isinstance(params, FIRFarrow) and not cx_taps:
+    if isinstance(params, FIRFarrow):
         # ratgrid (static banded matmul, no gathers) wins for few channels
         # (measured v5e: 2265 vs winsel 246 Msps single-channel); wide
         # batches amortize the chansel kernel's shared tap matrix better
-        # (4735 vs ratgrid 1346 Msps at 64 channels).
+        # (4735 vs ratgrid 1346 Msps at 64 channels). Complex taps run
+        # the same paths twice on re/im bank halves (filt_block_raw).
         n_batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
         if (params.ratgrid_meta is not None
                 and n_batch < 8
@@ -920,13 +922,29 @@ def _auto_path(params, x):
                 and (on_tpu or x.shape[-1] >= 4096)):
             return "ratgrid"
     if isinstance(params, (FIRArbitrary, FIRFarrow)):
-        if cx_taps:
-            return "windows"
         # winsel dispatches batched channels to the chansel kernel
         # (pallas/select4) — MXU-bound, ~25-60x the per-channel kernels
         # on v5e — and single channels to the fused select3 kernel.
         return "winsel" if on_tpu else "windows"
     return "windows"
+
+
+def _split_complex_taps(params):
+    """(params_re, params_im): tap-bank real/imag halves of a complex-taps
+    arbitrary/Farrow kernel. All index planning (nphi, delta_fx, the
+    gridsel/ratgrid metas) is tap-VALUE-independent, so both halves share
+    it; only the bank arrays split."""
+    import dataclasses
+
+    fields = (("pfb", "dpfb", "kq_super", "kdq_super")
+              if isinstance(params, FIRArbitrary)
+              else ("pfb", "coeffs", "kf_super", "k_ratgrid"))
+    re = {f: getattr(params, f).real for f in fields
+          if getattr(params, f) is not None}
+    im = {f: getattr(params, f).imag for f in fields
+          if getattr(params, f) is not None}
+    return (dataclasses.replace(params, **re),
+            dataclasses.replace(params, **im))
 
 
 def filt_block_raw(params, state: FilterState, x, path: str = "auto"):
@@ -939,26 +957,35 @@ def filt_block_raw(params, state: FilterState, x, path: str = "auto"):
 
     Complex signals against real taps (the reference's pinned mixed case,
     runtests.jl:393) route through the real fast paths planar-wise: re/im
-    stack as one extra batch dim, filter once, recombine.
+    stack as one extra batch dim, filter once, recombine. Complex TAPS on
+    the arbitrary/Farrow kernels split the banks re/im and run the real
+    fast path twice (y = x*hr + i*(x*hi)); index decisions are shared.
     """
     if path == "auto":
         path = _auto_path(params, x)
-        taps = params.taps_rev if hasattr(params, "taps_rev") else params.pfb
-        if (jnp.issubdtype(x.dtype, jnp.complexfloating)
-                and not jnp.issubdtype(taps.dtype, jnp.complexfloating)
-                and path != "windows"):
-            xr = jnp.stack([x.real, x.imag], axis=0)  # (2, ..., N)
-            hist = state.history
-            hr = jnp.stack([hist.real, hist.imag], axis=0) \
-                if jnp.issubdtype(hist.dtype, jnp.complexfloating) \
-                else jnp.stack([hist, jnp.zeros_like(hist)], axis=0)
-            st = FilterState(history=hr, phase=state.phase,
-                             deficit=state.deficit)
-            y2, count, st2 = _IMPL[type(params)](params, st, xr, path)
-            y = jax.lax.complex(y2[0], y2[1]).astype(
-                jnp.promote_types(taps.dtype, x.dtype))
-            nh = jax.lax.complex(st2.history[0], st2.history[1]).astype(
-                x.dtype)
-            return y, count, FilterState(history=nh, phase=st2.phase,
-                                         deficit=st2.deficit)
+    if path in ("windows", "slices"):
+        return _IMPL[type(params)](params, state, x, path)
+    taps = params.taps_rev if hasattr(params, "taps_rev") else params.pfb
+    if (jnp.issubdtype(taps.dtype, jnp.complexfloating)
+            and isinstance(params, (FIRArbitrary, FIRFarrow))):
+        pr, pi = _split_complex_taps(params)
+        yr, count, st2 = filt_block_raw(pr, state, x, path)
+        yi, _, _ = filt_block_raw(pi, state, x, path)
+        return ((yr + 1j * yi).astype(_out_dtype(params, x)), count, st2)
+    if (jnp.issubdtype(x.dtype, jnp.complexfloating)
+            and not jnp.issubdtype(taps.dtype, jnp.complexfloating)):
+        xr = jnp.stack([x.real, x.imag], axis=0)  # (2, ..., N)
+        hist = state.history
+        hr = jnp.stack([hist.real, hist.imag], axis=0) \
+            if jnp.issubdtype(hist.dtype, jnp.complexfloating) \
+            else jnp.stack([hist, jnp.zeros_like(hist)], axis=0)
+        st = FilterState(history=hr, phase=state.phase,
+                         deficit=state.deficit)
+        y2, count, st2 = _IMPL[type(params)](params, st, xr, path)
+        y = jax.lax.complex(y2[0], y2[1]).astype(
+            jnp.promote_types(taps.dtype, x.dtype))
+        nh = jax.lax.complex(st2.history[0], st2.history[1]).astype(
+            x.dtype)
+        return y, count, FilterState(history=nh, phase=st2.phase,
+                                     deficit=st2.deficit)
     return _IMPL[type(params)](params, state, x, path)

@@ -42,11 +42,12 @@ def polyfit(y, polyorder: int) -> np.ndarray:
     ``p(x) = sum_k c[k] * x**k`` minimizes ``|p(1..n) - y|``
     (reference: support.jl:85-88, which returns a Polynomials.Poly).
     """
-    y = np.asarray(y, dtype=np.float64)
+    y = np.asarray(y)
+    y = y.astype(np.complex128 if np.iscomplexobj(y) else np.float64)
     n = y.shape[0]
     x = np.arange(1, n + 1, dtype=np.float64)
     A = x[:, None] ** np.arange(polyorder + 1)[None, :]
-    coeffs, *_ = np.linalg.lstsq(A, y, rcond=None)
+    coeffs, *_ = np.linalg.lstsq(A.astype(y.dtype), y, rcond=None)
     return coeffs
 
 
@@ -73,5 +74,9 @@ def pfb2pnfb(pfb: np.ndarray, polyorder: int) -> np.ndarray:
     x = np.arange(1, nphi + 1, dtype=np.float64)
     A = x[:, None] ** np.arange(polyorder + 1)[None, :]
     # One batched lstsq: solve A @ C = pfb.T for C (polyorder+1, taps_per_phi).
-    C, *_ = np.linalg.lstsq(A, np.asarray(pfb, dtype=np.float64).T, rcond=None)
+    # Complex banks fit in complex128 (a float64 cast would silently drop
+    # the imaginary part of every Farrow tap polynomial).
+    dt = np.complex128 if np.iscomplexobj(pfb) else np.float64
+    C, *_ = np.linalg.lstsq(A.astype(dt), np.asarray(pfb, dtype=dt).T,
+                            rcond=None)
     return C

@@ -96,7 +96,8 @@ def build_ratgrid_plan(coeffs: np.ndarray, nphi: int, delta_fx: int):
     b_max = (2 * (D - 1) + drift_hi) // D
     n_b = int(b_max - b_min) + 1
 
-    C = np.asarray(coeffs, dtype=np.float64)  # (P+1, T)
+    C = np.asarray(coeffs)                    # (P+1, T)
+    C = C.astype(np.complex128 if np.iscomplexobj(C) else np.float64)
     P1, T = C.shape
     s_r = [(r * delta_fx) // D for r in range(L2)]
     U = int(M2 + T + (b_max - b_min))
@@ -105,7 +106,7 @@ def build_ratgrid_plan(coeffs: np.ndarray, nphi: int, delta_fx: int):
     # trailing (n_b, P1) axis pair would pad to the (8, 128) TPU tile and
     # inflate G's HBM traffic ~18x (measured: the old (r, b, p) order +
     # 3-operand einsum ran at 131 Msps, below even the winsel kernel).
-    K = np.zeros((U, n_b * P1 * L2), dtype=np.float64)
+    K = np.zeros((U, n_b * P1 * L2), dtype=C.dtype)
     for r in range(L2):
         for bi in range(n_b):
             for p in range(P1):

@@ -362,3 +362,32 @@ def test_chansel_any_channel_count(rng, C):
         ref = np.asarray(mr.filt(h, xb, 0.77, 32, *extra, path="windows"))
         y = np.asarray(mr.filt(h, xb, 0.77, 32, *extra, path="winsel"))
         np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("path", ["winsel", "ratgrid", "gridsel"])
+def test_complex_taps_fast_paths(rng, path):
+    """Complex TAPS through the fused arb/Farrow kernels: filt_block_raw
+    splits the bank re/im and runs the real kernel twice (index decisions
+    shared), so y == yr + i*yi must hold on every fast path — the
+    reference's complex-tap semantics (Filters.jl:693-742) without the
+    windows-path slowdown."""
+    # gridsel is an f32-only kernel (bf16x3 budget); the others take f64
+    ft, ct = ((np.float32, np.complex64) if path == "gridsel"
+              else (np.float64, np.complex128))
+    hr = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+          ).astype(ft)
+    hi = (0.25 * hr[::-1].copy()).astype(ft)
+    h = (hr + 1j * hi).astype(ct)
+    x = rng.standard_normal(9000).astype(ft)
+    for extra in ((), (4,)) if path != "ratgrid" else ((4,),):
+        got = np.asarray(mr.filt(h, x, 0.87, 32, *extra, path=path))
+        yr = np.asarray(mr.filt(hr, x, 0.87, 32, *extra, path=path))
+        yi = np.asarray(mr.filt(hi, x, 0.87, 32, *extra, path=path))
+        np.testing.assert_allclose(got, yr + 1j * yi,
+                                   rtol=1e-6, atol=1e-4 if ct == np.complex64
+                                   else 1e-8)
+        # and against the windows oracle (value correctness, not just
+        # linearity of the split)
+        ref = np.asarray(mr.filt(h, x, 0.87, 32, *extra, path="windows"))
+        n = min(len(got), len(ref))
+        np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-4, atol=2e-4)
