@@ -103,8 +103,12 @@ def main():
         st = mr.init_state(p, xx.shape[:-1], jnp.float32)
         best, best_path = 0.0, None
         for path in paths:
-            sec = chained_seconds_per_call(p, st, xx, path,
-                                           repeat=REPEAT, iters=iters)
+            try:
+                sec = chained_seconds_per_call(p, st, xx, path,
+                                               repeat=REPEAT, iters=iters)
+            except Exception as e:  # noqa: BLE001 - a path without a plan
+                log(f"  [{name} / {path}]: skipped ({type(e).__name__}: {e})")
+                continue
             msps = xx.size / sec / 1e6
             log(f"  [{name} / {path}]: {sec*1e3:.3f} ms -> {msps:.0f} Msps")
             if msps > best:
@@ -167,7 +171,7 @@ def main():
         ha = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
               ).astype(np.float32)
         fast = ("pallas",) if on_tpu else ("supercycle",)
-        arbp = ("winsel", "phaseall") if on_tpu else ("winsel",)
+        arbp = ("gridsel", "winsel") if on_tpu else ("winsel",)
         bench_config("standard_147taps",
                      mr.make_kernel(h147, ratio=Fraction(1, 1)),
                      Fraction(1, 1), h147, x, fast)
@@ -178,7 +182,7 @@ def main():
         bench_config("arbitrary_0.4709",
                      mr.make_kernel(ha, rate=0.4709, nphi=32),
                      0.4709, ha, x, arbp)
-        farrp = ("ratgrid", "winsel") if on_tpu else ("winsel",)
+        farrp = ("gridsel", "ratgrid", "winsel") if on_tpu else ("winsel",)
         bench_config("farrow_0.4709",
                      mr.make_kernel(ha, rate=0.4709, nphi=32, polyorder=4),
                      0.4709, ha, x, farrp)

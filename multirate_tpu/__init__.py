@@ -91,4 +91,7 @@ __all__ = [
     "inputlength", "max_outputs",
     "nextphase", "outputlength", "polyfit", "polyval", "pfb2pnfb", "reset",
     "setphase", "taps2pfb", "tapsforphase",
+    "quant",
 ]
+
+from .ops import quant  # noqa: E402  (int8 quantized mode)

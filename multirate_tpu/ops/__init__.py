@@ -27,3 +27,4 @@ __all__ = [
     "FIRFilter", "setphase", "reset",
     "tapsforphase", "outputlength", "inputlength", "nextphase", "max_outputs",
 ]
+from . import quant  # noqa: E402,F401  (int8 quantized mode)

@@ -198,7 +198,12 @@ def _supercycle_xla(xext, K, L_eff: int, M_eff: int, n_max: int):
         for i in range(k_parts)
     ]
     X3 = jnp.concatenate(parts, axis=-1)[..., :U]
-    if X3.dtype == jnp.bfloat16:
+    if jnp.issubdtype(X3.dtype, jnp.integer):
+        # int8 quantized mode (ops/quant.py): native s8 x s8 -> s32 MXU
+        # matmul, exact integer accumulation (no precision policy needed)
+        Y = jnp.einsum("...ju,ul->...jl", X3, K.astype(X3.dtype),
+                       preferred_element_type=jnp.int32)
+    elif X3.dtype == jnp.bfloat16:
         Y = jnp.einsum("...ju,ul->...jl", X3, K.astype(X3.dtype),
                        preferred_element_type=jnp.float32
                        ).astype(jnp.bfloat16)
@@ -890,6 +895,10 @@ def _auto_path(params, x):
     on_tpu = jax.default_backend() == "tpu"
     taps_dt = (params.taps_rev if hasattr(params, "taps_rev")
                else params.pfb).dtype
+    if jnp.issubdtype(taps_dt, jnp.integer):
+        # int8 quantized mode (ops/quant.py): XLA supercycle lowers to the
+        # native s8 MXU matmul; the float Pallas kernels don't apply
+        return "supercycle"
     if taps_dt == jnp.bfloat16 and isinstance(
             params, (FIRStandard, FIRInterpolator, FIRDecimator,
                      FIRRational)):
