@@ -37,8 +37,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def roofline_msps(rate):
-    return HBM_GBPS * 1e9 / (4.0 * (1.0 + rate)) / 1e6
+def roofline_msps(rate, itemsize=4):
+    return HBM_GBPS * 1e9 / (itemsize * (1.0 + rate)) / 1e6
 
 
 def accuracy_rms(mr, params, h, spec, x_np, y_dev, n_check=200_000):
@@ -99,8 +99,15 @@ def main():
         with open(side_path, "w") as fh:
             json.dump(sidecar, fh, indent=1)
 
-    def bench_config(name, p, spec, hh, xx, paths, iters=4):
-        st = mr.init_state(p, xx.shape[:-1], jnp.float32)
+    def bench_config(name, p, spec, hh, xx, paths, iters=4,
+                     state_dtype=jnp.float32, dequant=None, x_check=None):
+        """One sidecar row. For quantized modes pass the quantized ``xx``
+        and its ``state_dtype``, plus ``x_check`` (the quantized version of
+        x_np[:200k] so the oracle diff measures quantization error);
+        ``dequant(y_dev)`` maps raw kernel output (e.g. int32 accumulators)
+        back to float for the oracle check. Roofline uses the actual input
+        itemsize (bf16 doubles it, int8 4x)."""
+        st = mr.init_state(p, xx.shape[:-1], state_dtype)
         best, best_path = 0.0, None
         for path in paths:
             try:
@@ -115,12 +122,15 @@ def main():
                 best, best_path = msps, path
         rate = (float(spec) if not isinstance(spec, Fraction)
                 else spec.numerator / spec.denominator)
-        y_check, cnt, _ = mr.filt_block(p, mr.init_state(p, (), jnp.float32),
-                                        jnp.asarray(x_np[:200_000]),
-                                        path=best_path)
-        rms = accuracy_rms(mr, p, hh, spec, x_np,
-                           np.asarray(y_check)[: int(cnt)])
-        roof = roofline_msps(rate)
+        if x_check is None:
+            x_check = jnp.asarray(x_np[:200_000])
+        y_check, cnt, _ = mr.filt_block(p, mr.init_state(p, (), state_dtype),
+                                        x_check, path=best_path)
+        y_check = np.asarray(y_check)[: int(cnt)]
+        if dequant is not None:
+            y_check = dequant(y_check)
+        rms = accuracy_rms(mr, p, hh, spec, x_np, y_check)
+        roof = roofline_msps(rate, jnp.dtype(xx.dtype).itemsize)
         entry = {
             "name": name, "path": best_path,
             "msps_in": round(best, 1),
@@ -193,6 +203,27 @@ def main():
         bench_config("farrow_64ch_batched",
                      mr.make_kernel(ha, rate=0.9173, nphi=32, polyorder=4),
                      0.9173, ha, x64, arbp, iters=3)
+
+        # ---- quantized modes (TPU-native added capability) ---------- #
+        # Oracle RMS for these rows is end-to-end quantization error vs the
+        # TRUE float64 design (taps + signal quantization included): bf16
+        # ~1e-2..1e-3, int8 ~1e-2. bf16 halves HBM traffic (2x roofline),
+        # int8 quarters it (4x).
+        hb = np.asarray(jnp.asarray(h, jnp.bfloat16))
+        xb = jnp.asarray(x_np, jnp.bfloat16)
+        bench_config("rational_147_160_bf16",
+                     mr.make_kernel(hb, ratio=ratio), ratio, h, xb, paths,
+                     state_dtype=jnp.bfloat16,
+                     x_check=jnp.asarray(x_np[:200_000], jnp.bfloat16))
+        from multirate_tpu.ops import quant
+
+        hq, s_h = quant.quantize_taps(h)
+        xq, s_x = quant.quantize_signal(x_np)
+        bench_config("rational_147_160_int8",
+                     mr.make_kernel(hq, ratio=ratio), ratio, h, xq,
+                     ("supercycle",), state_dtype=jnp.int8,
+                     dequant=lambda y: y.astype(np.float64) * (s_x * s_h),
+                     x_check=quant.quantize_signal(x_np[:200_000], s_x)[0])
 
         # scaling overhead structure on the virtual CPU mesh (subprocess:
         # the axon plugin owns this process's backend)

@@ -102,16 +102,22 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
     # params MUST be a jit argument, not a closure constant: closed-over
     # device arrays hit the axon relay's large-constant pathology
     # (CLAUDE.md), and the zero-copy kernels carry ~100 MB K stacks
+    int_in = jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer)
+
     @partial(jax.jit, static_argnames=("reps", "path_"))
     def many(p, s, xx, reps, path_):
         def body(i, carry):
             s, xx, acc = carry
             y, _, s = filt_block_raw(p, s, xx, path_)
             last = y[..., -1].ravel()[0]
-            xx = xx.at[..., 0].add(last * 1e-30)
+            # int8 mode: LSB perturbation (not XLA-foldable; wraparound is
+            # harmless for timing); float: 1e-30 epsilon
+            upd = ((last & 1).astype(xx.dtype) if int_in
+                   else (last * 1e-30).astype(xx.dtype))
+            xx = xx.at[..., 0].add(upd)
             return (s, xx, acc + last)
-        _, _, acc = lax.fori_loop(
-            0, reps, body, (s, xx, jnp.zeros((), xx.dtype)))
+        acc0 = jnp.zeros((), jnp.int32 if int_in else x.dtype)
+        _, _, acc = lax.fori_loop(0, reps, body, (s, xx, acc0))
         return acc
 
     def tmin(reps):
