@@ -303,21 +303,28 @@ def _zc_slack(params) -> int:
 
 
 def _zc_plan(params, x, dt, n_max):
-    """Static zero-copy plan (groups, geometry) or None."""
-    from .pallas.rational2 import zc_groups, zc_geometry
+    """Static zero-copy plan (groups, geometry) or None.
+
+    Two modes: f32 signal against f32 taps (three-pass bf16x3 stacks,
+    k_zc_lo present) and the bf16 quantized mode — bf16 signal against
+    bf16 taps (single bf16 stack, k_zc_lo is None), running one MXU pass
+    per group at S = 16 sublane granularity."""
+    from .pallas.rational2 import zc_groups, zc_geometry, zc_s
 
     if not (isinstance(params, (FIRStandard, FIRInterpolator, FIRDecimator,
                                 FIRRational))
             and params.k_zc_hi is not None):
         return None
-    if x.dtype != jnp.float32 or dt != jnp.float32:
+    bf16_mode = params.k_zc_lo is None
+    want = jnp.bfloat16 if bf16_mode else jnp.float32
+    if x.dtype != want or dt != want:
         return None
     pfb2d, L, M, g = _band_geometry(params)
     groups = zc_groups(pfb2d.shape[0], L, M, g, params.h_min,
                        shift_slack=_zc_slack(params))
     if groups is None:
         return None
-    geo = zc_geometry(g * L, g * M, n_max, x.shape[-1])
+    geo = zc_geometry(g * L, g * M, n_max, x.shape[-1], S=zc_s(x.dtype))
     if geo is None:
         return None
     return groups, geo
@@ -348,6 +355,8 @@ def _run_zc(params, history, phi0, d0, x, n_max, plan):
     groups, geo = plan
     gL, gM = g * L, g * M
     kh, kl = params.k_zc_hi, params.k_zc_lo
+    three_pass = kl is not None  # single bf16 stack in the quantized mode
+    k_stack = (kh, kl) if three_pass else kh
     D = kh.shape[0] // L
     dsel = (jnp.clip(phi0 - 1, 0, L - 1) * D
             + jnp.clip(d0 - 1, 0, D - 1)).astype(jnp.int32)
@@ -355,9 +364,10 @@ def _run_zc(params, history, phi0, d0, x, n_max, plan):
     xlen = x.shape[-1]
 
     def run(xv, hv):
-        return rational_supercycle_zc(xv, hv, (kh, kl), dsel, gL, gM,
+        return rational_supercycle_zc(xv, hv, k_stack, dsel, gL, gM,
                                       n_max, groups, geo,
-                                      three_pass=True, interpret=interp)
+                                      three_pass=three_pass,
+                                      interpret=interp)
 
     if x.ndim == 1:
         return run(x, history)
@@ -406,7 +416,11 @@ def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):
         K = _grouped_k(params, phi0, d0, dt)
         return _run_grouped(params, xext.astype(dt), d0, n_max, K, grouped)
     K = _select_k(params, phi0, d0, dt)
-    apply_ = _supercycle_pallas if path == "pallas" else _supercycle_xla
+    # bf16 without a grouped plan: the XLA supercycle already lowers to
+    # the native single-pass bf16 MXU matmul (the v1 Pallas kernel is a
+    # HIGHEST-precision f32 kernel)
+    apply_ = (_supercycle_pallas if path == "pallas" and dt != jnp.bfloat16
+              else _supercycle_xla)
     return apply_(xext.astype(dt), K, g * L, g * M, n_max)
 
 
@@ -902,10 +916,13 @@ def _auto_path(params, x):
     if taps_dt == jnp.bfloat16 and isinstance(
             params, (FIRStandard, FIRInterpolator, FIRDecimator,
                      FIRRational)):
-        # quantized mode: bf16 HBM traffic doubles the roofline. Rational
-        # runs the grouped Pallas kernel in bf16 (single-pass MXU matmul,
-        # f32 accumulation); the rest use the XLA supercycle (native
-        # 1-pass bf16 matmul).
+        # quantized mode: bf16 HBM traffic doubles the roofline. On TPU
+        # prefer the zero-copy kernel (single bf16 K stack, S=16 tiles, no
+        # [history ++ x] concat pass); rational also has the grouped bf16
+        # kernel as its in-plan fallback. Otherwise the XLA supercycle
+        # (native 1-pass bf16 matmul).
+        if on_tpu and params.k_zc_hi is not None and params.k_zc_lo is None:
+            return "pallas"
         if (on_tpu and isinstance(params, FIRRational)
                 and _rational_groups(params) is not None):
             return "pallas"

@@ -38,14 +38,24 @@ from .. import precision as prec
 
 __all__ = ["rational_supercycle_grouped", "band_groups", "padded_need",
            "default_jt", "band_groups_zc", "zc_geometry",
-           "rational_zc_main", "build_k_zc_stack", "ZC_S"]
+           "rational_zc_main", "build_k_zc_stack", "ZC_S", "ZC_S_BF16",
+           "ZC_S_MAX", "zc_s"]
 
 # Zero-copy history depth: the streaming state carries the last S rows
 # (S*gM samples) of the stream, so the kernel reads the new block x IN
 # PLACE (natural (rows, gM) reshape) with no [history ++ x] concat — the
 # concat costs a full extra HBM read+write pass, as much as the kernel
-# itself at roofline. 8 rows = the f32 sublane quantum.
+# itself at roofline. 8 rows = the f32 sublane quantum; bf16 memory tiles
+# are (16, 128) so the bf16 quantized mode runs at S = 16 (state carries
+# ZC_S_MAX rows for every dtype; each kernel reads its trailing S).
 ZC_S = 8
+ZC_S_BF16 = 16
+ZC_S_MAX = 16
+
+
+def zc_s(dtype) -> int:
+    """Zero-copy row quantum for an input dtype (sublane granularity)."""
+    return ZC_S_BF16 if dtype == jnp.bfloat16 else ZC_S
 
 
 def _jt2(bf16: bool) -> int:
@@ -386,34 +396,57 @@ def build_k_zc_stack(pfb2d: np.ndarray, L: int, M: int, group: int,
 ZC_JT_OVERRIDE: int | None = None
 
 
-def zc_geometry(L: int, M: int, n_out: int, xlen: int, JT: int | None = None):
+def zc_geometry(L: int, M: int, n_out: int, xlen: int, JT: int | None = None,
+                S: int = ZC_S):
     """Static grid geometry (JT, num_tiles, T_ok, R), or None when the
     zero-copy path cannot cover at least one full main tile. L/M are the
-    grouped effective values (g*L, g*M). num_tiles - T_ok <= 1; the
-    leftover tile (if any) runs as the aliased tail call."""
-    S = ZC_S
+    grouped effective values (g*L, g*M); ``S`` is the row quantum
+    (zc_s(dtype)). num_tiles - T_ok <= 1; the leftover tile (if any) runs
+    as the aliased tail call.
+
+    bf16 (S = 16): when the preferred tile exceeds the block's input
+    rows, the tile shrinks (S-quantized descending scan) until the grid
+    covers the block, so small blocks still run zero-copy — the mode is
+    bf16-precision by construction, so a smaller tile changes nothing
+    observable. f32 keeps the single preferred tile (its fallbacks run
+    the HIGHEST-precision v1/grouped kernels; silently swapping small
+    blocks onto the 3-pass zc path would change their precision
+    class)."""
     R = xlen // M
-    if JT is None:
-        JT = ZC_JT_OVERRIDE or max(S, min(256, (131072 // M) // S * S))
+    if JT is not None:
+        cands = [JT]
+    else:
+        jt = ZC_JT_OVERRIDE or max(S, min(256, (131072 // M) // S * S))
+        jt = -(-jt // S) * S
+        cands = ([jt] if S == ZC_S
+                 else list(range(jt, S - 1, -S)))
     J_total = -(-n_out // L)
-    num_tiles = -(-J_total // JT)
-    T_ok = min(num_tiles, max(0, (R - S) // JT))
-    if T_ok < 1 or num_tiles - T_ok > 1:
-        return None
-    return JT, num_tiles, T_ok, R
+    for jt in cands:
+        num_tiles = -(-J_total // jt)
+        T_ok = min(num_tiles, max(0, (R - S) // jt))
+        if T_ok >= 1 and num_tiles - T_ok <= 1:
+            return jt, num_tiles, T_ok, R
+    return None
 
 
 def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
              three_pass: bool, out_dtype):
     """Shared contraction body: out rows r from bands at xcat rows
-    r+S-1 .. r+S+1 against the compressed K stripes."""
+    r+S-1 .. r+S+1 against the compressed K stripes. S is implied by the
+    assembled block (total = JT + 2*S)."""
     if three_pass:
         kh_ref, kl_ref, o_ref = rest
     else:
         (k_ref, o_ref) = rest
     f32 = jnp.float32
-    S = ZC_S
     total = xcat.shape[0]
+    S = (total - JT) // 2
+    bf16_in = xcat.dtype == jnp.bfloat16
+    if bf16_in:
+        # Mosaic lane rotates operate on 32-bit elements; assemble the
+        # shifted windows in f32 (VMEM only — HBM traffic stays bf16) and
+        # drop back to bf16 for the single-pass MXU matmul.
+        xcat = xcat.astype(f32)
 
     def mm(xs, r0, r1_, gi, w):
         cs = gi * 128
@@ -425,6 +458,10 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
             acc = acc + jnp.dot(xh16, kl, preferred_element_type=f32)
             acc = acc + jnp.dot(xl16, kh, preferred_element_type=f32)
             return acc
+        if bf16_in:
+            return jnp.dot(xs.astype(jnp.bfloat16),
+                           k_ref[0, r0:r1_, cs:cs + w],
+                           preferred_element_type=f32)
         return jnp.dot(xs, k_ref[0, r0:r1_, cs:cs + w],
                        preferred_element_type=xs.dtype,
                        precision=jax.lax.Precision.HIGHEST)
@@ -487,10 +524,11 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
 
     x: (xlen,) at the stream origin of THIS block; hist: (>= S*gM,)
     trailing stream samples; k_stack: (k_hi, k_lo) compressed bf16 stacks
-    (three_pass) or one f32/f64 stack; dsel: deficit slab index d0-1.
+    (three_pass) or one f32/bf16 stack (bf16 x runs the single-pass bf16
+    MXU matmul at S = 16); dsel: deficit slab index d0-1.
     Entry phase must be 1 (callers cond on it). Returns flat (n_out,).
     """
-    S = ZC_S
+    S = zc_s(x.dtype)
     JT, num_tiles, T_ok, R = geo
     xlen = x.shape[0]
     x2d = x[: R * M].reshape(R, M)

@@ -90,8 +90,15 @@ def _zc_fields(bank2d: np.ndarray, L: int, M: int, group: int,
                n_deficit: int):
     """(k_zc_hi, k_zc_lo) compressed phase/deficit-indexed K stacks for
     the zero-copy kernel, or (None, None) when the geometry or budgets
-    are inapplicable (see pallas/rational2)."""
-    if bank2d.dtype != np.float32:
+    are inapplicable (see pallas/rational2).
+
+    f32 banks produce a (hi, lo) bf16 pair for the three-pass split; bf16
+    banks (the quantized mode) produce a SINGLE bf16 stack (k_zc_lo is
+    None) — the bank values are exactly bf16 so one MXU pass is exact
+    in the taps, and the stack rows are 16-padded to the bf16 sublane
+    quantum."""
+    bf16 = bank2d.dtype == jnp.bfloat16
+    if bank2d.dtype != np.float32 and not bf16:
         return None, None
     from .pallas.rational2 import build_k_zc_stack, zc_groups
 
@@ -106,7 +113,13 @@ def _zc_fields(bank2d: np.ndarray, L: int, M: int, group: int,
         return None, None
     from . import precision as _prec
 
-    stack = build_k_zc_stack(bank2d, L, M, group, h_min, n_deficit, groups)
+    stack = build_k_zc_stack(bank2d.astype(np.float32), L, M, group,
+                             h_min, n_deficit, groups)
+    if bf16:
+        if stack.shape[1] % 16:
+            pad = 16 - stack.shape[1] % 16
+            stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
+        return jnp.asarray(stack, jnp.bfloat16), None
     return _prec.split_bf16(jnp.asarray(stack))
 
 
@@ -172,9 +185,9 @@ class FIRStandard:
     @property
     def history_len(self) -> int:
         if self.k_zc_hi is not None:
-            from .pallas.rational2 import ZC_S
+            from .pallas.rational2 import ZC_S_MAX
 
-            return ZC_S * self.sc_group
+            return ZC_S_MAX * self.sc_group
         return self.hlen - 1
 
 
@@ -215,9 +228,9 @@ class FIRInterpolator:
     @property
     def history_len(self) -> int:
         if self.k_zc_hi is not None:
-            from .pallas.rational2 import ZC_S
+            from .pallas.rational2 import ZC_S_MAX
 
-            return ZC_S * self.sc_group
+            return ZC_S_MAX * self.sc_group
         return self.taps_per_phi - 1
 
 
@@ -261,9 +274,9 @@ class FIRDecimator:
     @property
     def history_len(self) -> int:
         if self.k_zc_hi is not None:
-            from .pallas.rational2 import ZC_S
+            from .pallas.rational2 import ZC_S_MAX
 
-            return ZC_S * self.sc_group * self.decimation
+            return ZC_S_MAX * self.sc_group * self.decimation
         return self.hlen - 1
 
 
@@ -326,9 +339,9 @@ class FIRRational:
         with no [history ++ x] concat (pallas/rational2). Non-zc paths
         slice the trailing h_min samples."""
         if self.k_zc_hi is not None:
-            from .pallas.rational2 import ZC_S
+            from .pallas.rational2 import ZC_S_MAX
 
-            return ZC_S * self.sc_group * self.decimation
+            return ZC_S_MAX * self.sc_group * self.decimation
         return self.taps_per_phi - 1
 
 

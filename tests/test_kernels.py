@@ -146,6 +146,55 @@ def test_bfloat16_quantized_mode(rng):
             assert np.abs(yp - got).max() <= ulp
 
 
+def test_bfloat16_zero_copy_kernel(rng):
+    """bf16 quantized mode through the ZERO-COPY kernel (single bf16 K
+    stack, S=16 sublane tiles): matches the XLA bf16 supercycle to ~1
+    bf16 ulp for all four rational-family geometries, and streaming
+    chunked == whole holds through the zc path (deficit slab select +
+    16-row history carry)."""
+    import jax.numpy as jnp
+    from multirate_tpu.ops.compute import _out_dtype, _zc_plan
+    from multirate_tpu.ops import indexing as idx
+
+    h64 = rng.standard_normal(24 * 21)
+    x64 = rng.standard_normal(120_000)
+    xb = jnp.asarray(x64, jnp.bfloat16)
+    for spec in [Fraction(147, 160), Fraction(1, 1), Fraction(1, 4),
+                 Fraction(4, 1)]:
+        hb = np.asarray(jnp.asarray(h64, jnp.bfloat16))
+        p = mr.make_kernel(hb, ratio=spec)
+        assert p.k_zc_hi is not None and p.k_zc_hi.dtype == jnp.bfloat16
+        assert p.k_zc_lo is None
+        n_max = idx.max_outputs(p, xb.shape[-1])
+        assert _zc_plan(p, xb, _out_dtype(p, xb), n_max) is not None, spec
+        st = mr.init_state(p, (), jnp.bfloat16)
+        y_zc, c1, _ = mr.filt_block(p, st, xb, path="pallas")
+        y_sc, c2, _ = mr.filt_block(p, mr.init_state(p, (), jnp.bfloat16),
+                                    xb, path="supercycle")
+        assert int(c1) == int(c2)
+        a = np.asarray(y_zc)[: int(c1)].astype(np.float64)
+        b = np.asarray(y_sc)[: int(c2)].astype(np.float64)
+        ulp = np.abs(b).max() * 2.0 ** -7
+        assert np.abs(a - b).max() <= ulp, spec
+    # streaming: chunked == whole through the zc path (odd chunk size
+    # exercises every deficit slab and the sub-row remainder tail)
+    spec = Fraction(147, 160)
+    p = mr.make_kernel(np.asarray(jnp.asarray(h64, jnp.bfloat16)),
+                       ratio=spec)
+    st = mr.init_state(p, (), jnp.bfloat16)
+    yw, cw, _ = mr.filt_block(p, st, xb, path="pallas")
+    yw = np.asarray(yw)[: int(cw)].astype(np.float64)
+    st = mr.init_state(p, (), jnp.bfloat16)
+    parts = []
+    for i in range(0, 120_000, 31_013):
+        y, c, st = mr.filt_block(p, st, xb[i:i + 31_013], path="pallas")
+        parts.append(np.asarray(y)[: int(c)])
+    yc = np.concatenate(parts).astype(np.float64)
+    assert len(yc) == len(yw)
+    ulp = np.abs(yw).max() * 2.0 ** -7
+    assert np.abs(yc - yw).max() <= ulp
+
+
 def test_complex_taps_planar_fast_path(rng):
     """Complex TAPS route through the supercycle MXU machinery as 2-4 real
     planar applies (not the slow windows gather): pallas/supercycle must
