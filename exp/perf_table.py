@@ -1,0 +1,75 @@
+"""Render BENCH_SIDECAR.json as the markdown perf table used in
+README.md/ROADMAP.md — the doc tables are generated from measured data,
+never hand-typed.
+
+Usage:
+    python exp/perf_table.py            # print the table
+    python exp/perf_table.py --apply    # rewrite the marked README block
+
+README markers:  <!-- BENCH_TABLE --> ... <!-- /BENCH_TABLE -->
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+LABELS = {
+    "rational_147_160": "rational 147//160 (headline)",
+    "standard_147taps": "standard FIR, 147 taps",
+    "decim_1_4": "decimator 1//4",
+    "interp_4_1": "interpolator 4//1",
+    "arbitrary_0.4709": "arbitrary rate 0.4709",
+    "farrow_0.4709": "Farrow rate 0.4709",
+    "farrow_64ch_batched": "Farrow, 64 channels",
+    "rational_147_160_bf16": "rational 147//160, bf16 quantized",
+    "rational_147_160_int8": "rational 147//160, int8 quantized",
+}
+
+
+def table() -> str:
+    with open(os.path.join(REPO, "BENCH_SIDECAR.json")) as fh:
+        side = json.load(fh)
+    lines = [
+        f"Measured on 1x {side.get('device', '?')} "
+        "(`python bench.py`, chained-slope methodology; "
+        "regenerate this table with `python exp/perf_table.py --apply`):",
+        "",
+        "| Config | Best path | Msps in | Msps out | % HBM roofline "
+        "| RMS vs f64 oracle |",
+        "|---|---|---|---|---|---|",
+    ]
+    for c in side.get("configs", []):
+        lines.append(
+            f"| {LABELS.get(c['name'], c['name'])} | `{c['path']}` "
+            f"| {c['msps_in']:,.0f} | {c['msps_out']:,.0f} "
+            f"| {c['roofline_pct']}% | {c['oracle_rel_rms']:.1e} |")
+    rms = side.get("chunked_vs_whole_rms")
+    if rms is not None:
+        lines += ["", f"Chunked-vs-whole RMS (headline): {rms:.1e} "
+                  "(float reduction-order noise; index decisions exactly "
+                  "chunking-invariant)."]
+    return "\n".join(lines)
+
+
+def apply(md_path: str, block: str) -> bool:
+    start, end = "<!-- BENCH_TABLE -->", "<!-- /BENCH_TABLE -->"
+    with open(md_path) as fh:
+        text = fh.read()
+    if start not in text or end not in text:
+        return False
+    head, rest = text.split(start, 1)
+    _, tail = rest.split(end, 1)
+    with open(md_path, "w") as fh:
+        fh.write(f"{head}{start}\n{block}\n{end}{tail}")
+    return True
+
+
+if __name__ == "__main__":
+    t = table()
+    if "--apply" in sys.argv:
+        ok = apply(os.path.join(REPO, "README.md"), t)
+        print("README updated" if ok else "README markers missing",
+              file=sys.stderr)
+    print(t)
