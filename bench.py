@@ -145,7 +145,8 @@ def main():
         return entry
 
     # ---- headline: rational 147//160 --------------------------------- #
-    paths = ("supercycle", "pallas") if on_tpu else ("supercycle",)
+    paths = (("supercycle", "pallas", "concat") if on_tpu
+             else ("supercycle",))
     head = bench_config("rational_147_160", params, ratio, h, x, paths,
                         iters=6)
     msps = head["msps_in"]
@@ -180,7 +181,7 @@ def main():
             mr.firdes(147, 0.2, mr.kaiser, beta=7.0), dtype=np.float32)
         ha = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
               ).astype(np.float32)
-        fast = ("pallas",) if on_tpu else ("supercycle",)
+        fast = ("pallas", "concat") if on_tpu else ("supercycle",)
         arbp = ("gridsel", "winsel") if on_tpu else ("winsel",)
         bench_config("standard_147taps",
                      mr.make_kernel(h147, ratio=Fraction(1, 1)),

@@ -24,9 +24,16 @@ Compute paths:
 - ``conv``: XLA ``conv_general_dilated`` (good on CPU; poor on TPU for long
   single-channel kernels).
 - ``supercycle``: the banded matmul with X3 materialized by XLA.
-- ``pallas``: the banded matmul as a Pallas kernel that assembles X3 tiles
-  in VMEM from two overlapping auto-pipelined input blocks — the overlap
-  never touches HBM (ops/pallas/rational.py).
+- ``pallas``: the banded matmul as a Pallas kernel. Prefers the zero-copy
+  kernel (in-place x reads, phase/deficit-selected compressed K stacks,
+  ops/pallas/rational2.py) when its plan applies; otherwise the grouped
+  (rational) or dense v1 concat-entry kernels.
+- ``concat``: like ``pallas`` but skips the zero-copy plan — always the
+  concat-entry grouped/v1 kernel (for per-run A/B benchmarks).
+- arbitrary/Farrow fast paths: ``winsel`` (fused window-select; batched
+  channels dispatch to the chansel kernel), ``gridsel`` (rational-grid
+  tile-adaptive), ``ratgrid`` (static banded matmul; Farrow), and the
+  ``phaseall``/``phaseall-xla`` interpolate-everything fallbacks.
 
 All paths consume the extended signal xext = [history, x_block] so filter
 ramp-up across block boundaries is uniform (the reference's split
@@ -430,11 +437,20 @@ def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):
 # ``count`` are unspecified (callers trim or mask).
 # --------------------------------------------------------------------------- #
 
+def _norm_path(path):
+    """"concat" = the Pallas concat-entry variant (grouped kernel for
+    rational, v1 dense for standard/interp/decim): identical to "pallas"
+    except the zero-copy plan is skipped. Exists so benchmarks can compare
+    zc vs concat per-run (the auto path shadows concat when zc applies)."""
+    return "pallas" if path == "concat" else path
+
+
 def _standard(params: FIRStandard, state, x, path):
     dt = _out_dtype(params, x)
     n_out = x.shape[-1]
     hist_min = state.history[..., state.history.shape[-1] - params.h_min:]
     plan = _zc_plan(params, x, dt, n_out) if path == "pallas" else None
+    path = _norm_path(path)
     if plan is not None:
         y = _run_zc(params, state.history.astype(x.dtype), state.phase,
                     state.deficit, x, n_out, plan)
@@ -460,6 +476,7 @@ def _interpolator(params: FIRInterpolator, state, x, path):
     n_out = x.shape[-1] * L
     hist_min = state.history[..., state.history.shape[-1] - params.h_min:]
     plan = _zc_plan(params, x, dt, n_out) if path == "pallas" else None
+    path = _norm_path(path)
     if plan is not None:
         y = _run_zc(params, state.history.astype(x.dtype), state.phase,
                     state.deficit, x, n_out, plan)
@@ -489,6 +506,7 @@ def _decimator(params: FIRDecimator, state, x, path):
     dt = _out_dtype(params, x)
     hist_min = state.history[..., state.history.shape[-1] - params.h_min:]
     plan = _zc_plan(params, x, dt, n_max) if path == "pallas" else None
+    path = _norm_path(path)
     if plan is not None:
         y = _run_zc(params, state.history.astype(x.dtype), state.phase,
                     state.deficit, x, n_max, plan)
@@ -539,6 +557,7 @@ def _rational(params: FIRRational, state, x, path):
                                     state.deficit, n_max, dt, path)
 
     plan = _zc_plan(params, x, dt, n_max) if path == "pallas" else None
+    path = _norm_path(path)
     if plan is not None:
         y = _run_zc(params, state.history.astype(x.dtype), state.phase,
                     state.deficit, x, n_max, plan)
