@@ -222,7 +222,8 @@ def main():
         xq, s_x = quant.quantize_signal(x_np)
         bench_config("rational_147_160_int8",
                      mr.make_kernel(hq, ratio=ratio), ratio, h, xq,
-                     ("supercycle",), state_dtype=jnp.int8,
+                     ("supercycle", "pallas") if on_tpu
+                     else ("supercycle",), state_dtype=jnp.int8,
                      dequant=lambda y: y.astype(np.float64) * (s_x * s_h),
                      x_check=quant.quantize_signal(x_np[:200_000], s_x)[0])
 

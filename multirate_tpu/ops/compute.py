@@ -312,18 +312,18 @@ def _zc_slack(params) -> int:
 def _zc_plan(params, x, dt, n_max):
     """Static zero-copy plan (groups, geometry) or None.
 
-    Two modes: f32 signal against f32 taps (three-pass bf16x3 stacks,
-    k_zc_lo present) and the bf16 quantized mode — bf16 signal against
-    bf16 taps (single bf16 stack, k_zc_lo is None), running one MXU pass
-    per group at S = 16 sublane granularity."""
+    Three modes: f32 signal against f32 taps (three-pass bf16x3 stacks,
+    k_zc_lo present), and the quantized modes with a single stack
+    (k_zc_lo is None): bf16 signal x bf16 taps (one bf16 MXU pass, S=16)
+    and int8 signal x int8 taps (native s8 x s8 -> s32 MXU pass, S=32,
+    exact int32 accumulation)."""
     from .pallas.rational2 import zc_groups, zc_geometry, zc_s
 
     if not (isinstance(params, (FIRStandard, FIRInterpolator, FIRDecimator,
                                 FIRRational))
             and params.k_zc_hi is not None):
         return None
-    bf16_mode = params.k_zc_lo is None
-    want = jnp.bfloat16 if bf16_mode else jnp.float32
+    want = jnp.float32 if params.k_zc_lo is not None else params.k_zc_hi.dtype
     if x.dtype != want or dt != want:
         return None
     pfb2d, L, M, g = _band_geometry(params)
@@ -387,6 +387,12 @@ def _run_zc(params, history, phi0, d0, x, n_max, plan):
 def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):
     _, L, M, g = _band_geometry(params)
     grouped = _rational_groups(params) if path == "pallas" else None
+    if jnp.issubdtype(dt, jnp.integer):
+        # int8 quantized mode outside the zc plan: the XLA supercycle
+        # lowers to the native s8 MXU matmul; the float Pallas kernels
+        # (HIGHEST / bf16x3 splits) don't apply to integer operands
+        grouped = None
+        path = "supercycle"
 
     if jnp.issubdtype(dt, jnp.complexfloating):
         # Complex taps (and possibly complex signal): planar decomposition
@@ -929,8 +935,13 @@ def _auto_path(params, x):
     taps_dt = (params.taps_rev if hasattr(params, "taps_rev")
                else params.pfb).dtype
     if jnp.issubdtype(taps_dt, jnp.integer):
-        # int8 quantized mode (ops/quant.py): XLA supercycle lowers to the
-        # native s8 MXU matmul; the float Pallas kernels don't apply
+        # int8 quantized mode (ops/quant.py): prefer the zero-copy kernel
+        # on TPU (int8 K stack, native s8 x s8 -> s32 MXU pass, S=32
+        # tiles); otherwise the XLA supercycle (also the s8 MXU matmul,
+        # but with the X3 materialization traffic)
+        if (on_tpu and getattr(params, "k_zc_hi", None) is not None
+                and params.k_zc_lo is None):
+            return "pallas"
         return "supercycle"
     if taps_dt == jnp.bfloat16 and isinstance(
             params, (FIRStandard, FIRInterpolator, FIRDecimator,

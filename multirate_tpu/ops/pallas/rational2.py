@@ -39,7 +39,7 @@ from .. import precision as prec
 __all__ = ["rational_supercycle_grouped", "band_groups", "padded_need",
            "default_jt", "band_groups_zc", "zc_geometry",
            "rational_zc_main", "build_k_zc_stack", "ZC_S", "ZC_S_BF16",
-           "ZC_S_MAX", "zc_s"]
+           "ZC_S_MAX", "ZC_S_INT8", "zc_s"]
 
 # Zero-copy history depth: the streaming state carries the last S rows
 # (S*gM samples) of the stream, so the kernel reads the new block x IN
@@ -50,12 +50,17 @@ __all__ = ["rational_supercycle_grouped", "band_groups", "padded_need",
 # ZC_S_MAX rows for every dtype; each kernel reads its trailing S).
 ZC_S = 8
 ZC_S_BF16 = 16
-ZC_S_MAX = 16
+ZC_S_INT8 = 32
+ZC_S_MAX = 32
 
 
 def zc_s(dtype) -> int:
     """Zero-copy row quantum for an input dtype (sublane granularity)."""
-    return ZC_S_BF16 if dtype == jnp.bfloat16 else ZC_S
+    if dtype == jnp.bfloat16:
+        return ZC_S_BF16
+    if dtype == jnp.int8:
+        return ZC_S_INT8
+    return ZC_S
 
 
 def _jt2(bf16: bool) -> int:
@@ -404,11 +409,12 @@ def zc_geometry(L: int, M: int, n_out: int, xlen: int, JT: int | None = None,
     (zc_s(dtype)). num_tiles - T_ok <= 1; the leftover tile (if any) runs
     as the aliased tail call.
 
-    bf16 (S = 16): when the preferred tile exceeds the block's input
-    rows, the tile shrinks (S-quantized descending scan) until the grid
-    covers the block, so small blocks still run zero-copy — the mode is
-    bf16-precision by construction, so a smaller tile changes nothing
-    observable. f32 keeps the single preferred tile (its fallbacks run
+    Quantized modes (bf16 S=16, int8 S=32): when the preferred tile
+    exceeds the block's input rows, the tile shrinks (S-quantized
+    descending scan) until the grid covers the block, so small blocks
+    still run zero-copy — those modes' precision is set by the operand
+    dtype, so a smaller tile changes nothing observable (int8 is exact
+    regardless). f32 keeps the single preferred tile (its fallbacks run
     the HIGHEST-precision v1/grouped kernels; silently swapping small
     blocks onto the 3-pass zc path would change their precision
     class)."""
@@ -429,11 +435,26 @@ def zc_geometry(L: int, M: int, n_out: int, xlen: int, JT: int | None = None,
     return None
 
 
+def _zc_compute_dtype(in_dtype):
+    """Assembly dtype for the zc kernels: Mosaic lane rotates / sublane
+    selects operate on 32-bit elements, so sub-32-bit inputs are widened
+    once on entry (VMEM only — HBM traffic stays at the narrow dtype) and
+    narrowed back per-matmul."""
+    if in_dtype == jnp.bfloat16:
+        return jnp.float32
+    if in_dtype == jnp.int8:
+        return jnp.int32
+    return in_dtype
+
+
 def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
              three_pass: bool, out_dtype):
     """Shared contraction body: out rows r from bands at xcat rows
     r+S-1 .. r+S+1 against the compressed K stripes. S is implied by the
-    assembled block (total = JT + 2*S)."""
+    assembled block (total = JT + 2*S). ``xcat`` arrives pre-widened to
+    the 32-bit assembly dtype; the matmul mode follows the K stack dtype:
+    bf16 pair -> 3-pass split, bf16 single -> native bf16 MXU pass,
+    int8 -> native s8 x s8 -> s32 MXU pass, f32/f64 -> HIGHEST."""
     if three_pass:
         kh_ref, kl_ref, o_ref = rest
     else:
@@ -441,12 +462,6 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
     f32 = jnp.float32
     total = xcat.shape[0]
     S = (total - JT) // 2
-    bf16_in = xcat.dtype == jnp.bfloat16
-    if bf16_in:
-        # Mosaic lane rotates operate on 32-bit elements; assemble the
-        # shifted windows in f32 (VMEM only — HBM traffic stays bf16) and
-        # drop back to bf16 for the single-pass MXU matmul.
-        xcat = xcat.astype(f32)
 
     def mm(xs, r0, r1_, gi, w):
         cs = gi * 128
@@ -458,10 +473,15 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
             acc = acc + jnp.dot(xh16, kl, preferred_element_type=f32)
             acc = acc + jnp.dot(xl16, kh, preferred_element_type=f32)
             return acc
-        if bf16_in:
+        kd = k_ref.dtype
+        if kd == jnp.bfloat16:
             return jnp.dot(xs.astype(jnp.bfloat16),
                            k_ref[0, r0:r1_, cs:cs + w],
                            preferred_element_type=f32)
+        if kd == jnp.int8:
+            return jnp.dot(xs.astype(jnp.int8),
+                           k_ref[0, r0:r1_, cs:cs + w],
+                           preferred_element_type=jnp.int32)
         return jnp.dot(xs, k_ref[0, r0:r1_, cs:cs + w],
                        preferred_element_type=xs.dtype,
                        precision=jax.lax.Precision.HIGHEST)
@@ -502,8 +522,11 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
 def _kernel_zc_main(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, *rest,
                     JT: int, gM: int, groups: tuple, three_pass: bool):
     pid = pl.program_id(0)
-    first = jnp.where(pid == jnp.int32(0), hist_ref[...], prev_ref[...])
-    xcat = jnp.concatenate([first, xa_ref[...], next_ref[...]], axis=0)
+    cdt = _zc_compute_dtype(xa_ref.dtype)
+    first = jnp.where(pid == jnp.int32(0), hist_ref[...].astype(cdt),
+                      prev_ref[...].astype(cdt))
+    xcat = jnp.concatenate(
+        [first, xa_ref[...].astype(cdt), next_ref[...].astype(cdt)], axis=0)
     _zc_body(xcat, rest, JT=JT, gM=gM, groups=groups,
              three_pass=three_pass, out_dtype=rest[-1].dtype)
 
@@ -511,7 +534,8 @@ def _kernel_zc_main(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, *rest,
 def _kernel_zc_tail(dsel_ref, xt_ref, *rest, JT: int, gM: int,
                     groups: tuple, three_pass: bool):
     # rest = (*k_refs, prev_out_ref(ANY, ignored), o_ref)
-    _zc_body(xt_ref[...], (*rest[:-2], rest[-1]), JT=JT, gM=gM,
+    cdt = _zc_compute_dtype(xt_ref.dtype)
+    _zc_body(xt_ref[...].astype(cdt), (*rest[:-2], rest[-1]), JT=JT, gM=gM,
              groups=groups, three_pass=three_pass,
              out_dtype=rest[-1].dtype)
 
@@ -529,6 +553,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
     Entry phase must be 1 (callers cond on it). Returns flat (n_out,).
     """
     S = zc_s(x.dtype)
+    odt = jnp.int32 if x.dtype == jnp.int8 else x.dtype
     JT, num_tiles, T_ok, R = geo
     xlen = x.shape[0]
     x2d = x[: R * M].reshape(R, M)
@@ -549,7 +574,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
     dsel1 = dsel.reshape(1).astype(jnp.int32)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), odt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T_ok,),
@@ -584,7 +609,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                                    groups=groups, three_pass=three_pass)
         out = pl.pallas_call(
             kern_t,
-            out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), odt),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(1,),

@@ -96,9 +96,12 @@ def _zc_fields(bank2d: np.ndarray, L: int, M: int, group: int,
     banks (the quantized mode) produce a SINGLE bf16 stack (k_zc_lo is
     None) — the bank values are exactly bf16 so one MXU pass is exact
     in the taps, and the stack rows are 16-padded to the bf16 sublane
-    quantum."""
+    quantum. int8 banks (ops/quant.py) likewise produce a single int8
+    stack (rows 32-padded) feeding the native s8 x s8 -> s32 MXU pass —
+    integer tap values round-trip the f32 build exactly."""
     bf16 = bank2d.dtype == jnp.bfloat16
-    if bank2d.dtype != np.float32 and not bf16:
+    int8 = bank2d.dtype == np.int8
+    if bank2d.dtype != np.float32 and not (bf16 or int8):
         return None, None
     from .pallas.rational2 import build_k_zc_stack, zc_groups
 
@@ -115,11 +118,13 @@ def _zc_fields(bank2d: np.ndarray, L: int, M: int, group: int,
 
     stack = build_k_zc_stack(bank2d.astype(np.float32), L, M, group,
                              h_min, n_deficit, groups)
-    if bf16:
-        if stack.shape[1] % 16:
-            pad = 16 - stack.shape[1] % 16
+    if bf16 or int8:
+        q = 32 if int8 else 16  # sublane quantum of the stack dtype
+        if stack.shape[1] % q:
+            pad = q - stack.shape[1] % q
             stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
-        return jnp.asarray(stack, jnp.bfloat16), None
+        dt = jnp.int8 if int8 else jnp.bfloat16
+        return jnp.asarray(stack.astype(dt) if int8 else stack, dt), None
     return _prec.split_bf16(jnp.asarray(stack))
 
 

@@ -138,7 +138,7 @@ class QuantizedFIRFilter:
                             "use quantize_signal")
         st = self._ensure_state(xq)
         acc, count, self._state = filt_block(self.params, st, xq,
-                                             path="supercycle")
+                                             path="auto")
         y = acc.astype(jnp.float32) * jnp.float32(self.y_scale)
         y = y[..., : int(count)]
         if self.out == "int8":

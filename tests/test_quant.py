@@ -129,3 +129,40 @@ def test_quantize_signal_stochastic_path(rng):
     assert s1 == s2
     # stochastic and nearest agree within 1 LSB everywhere
     assert np.max(np.abs(q1.astype(np.int32) - q2.astype(np.int32))) <= 1
+
+
+def test_int8_zero_copy_kernel_bit_exact(rng):
+    """int8 through the ZERO-COPY kernel (int8 K stack, S=32 tiles,
+    s8 x s8 -> s32 MXU pass): integer accumulation is order-independent,
+    so zc must equal the XLA supercycle BIT-exactly for every geometry,
+    and chunked streaming == whole bit-exactly through the zc path."""
+    import jax.numpy as jnp
+
+    h = np.asarray(mr.firdes(24 * 21, 0.5 / 21, mr.kaiser, beta=7.0) * 21,
+                   np.float32)
+    x = rng.standard_normal(150_000).astype(np.float32)
+    hq, _ = quant.quantize_taps(h)
+    xq, _ = quant.quantize_signal(x)
+    for ratio in [Fraction(147, 160), Fraction(1, 1), Fraction(1, 4),
+                  Fraction(4, 1)]:
+        p = mr.make_kernel(hq, ratio=ratio)
+        assert p.k_zc_hi is not None and p.k_zc_hi.dtype == jnp.int8
+        assert p.k_zc_lo is None
+        y1, c1, _ = mr.filt_block(p, mr.init_state(p, (), jnp.int8), xq,
+                                  path="pallas")
+        y2, c2, _ = mr.filt_block(p, mr.init_state(p, (), jnp.int8), xq,
+                                  path="supercycle")
+        assert int(c1) == int(c2)
+        a = np.asarray(y1)[: int(c1)]
+        b = np.asarray(y2)[: int(c2)]
+        assert a.dtype == np.int32 and np.array_equal(a, b), ratio
+    p = mr.make_kernel(hq, ratio=Fraction(147, 160))
+    st = mr.init_state(p, (), jnp.int8)
+    yw, cw, _ = mr.filt_block(p, st, xq, path="pallas")
+    yw = np.asarray(yw)[: int(cw)]
+    st = mr.init_state(p, (), jnp.int8)
+    parts = []
+    for i in range(0, 150_000, 41_113):
+        y, c, st = mr.filt_block(p, st, xq[i:i + 41_113], path="pallas")
+        parts.append(np.asarray(y)[: int(c)])
+    assert np.array_equal(np.concatenate(parts), yw)
