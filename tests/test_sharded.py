@@ -143,3 +143,48 @@ def test_sharded_ragged_steady_state_no_host_transfers(rng):
             dense, total = compact_device(y, counts)
     got = np.asarray(dense)[..., : int(total)]
     assert got.shape[-1] > 0 and np.isfinite(got).all()
+
+
+def test_sharded_quantized_modes(rng):
+    """bf16 and int8 quantized modes through the (ch, t) sharded step:
+    sharded assembly equals the whole-vector path — within a bf16 ulp for
+    bf16, and BIT-exactly for int8 (integer accumulation + closed-form
+    per-shard entry state)."""
+    import jax.numpy as jnp
+    from multirate_tpu.ops import quant
+
+    h = (mr.firdes(24 * 21, 0.5 / 21, mr.kaiser, beta=7.0) * 21
+         ).astype(np.float32)
+    x = rng.standard_normal((4, 64_000)).astype(np.float32)
+    mesh = make_mesh(2, 4)
+    ratio = Fraction(147, 160)
+
+    def assemble(y, counts, c):
+        return np.concatenate([
+            np.asarray(y[c, t])[: int(counts[c, t] if counts.ndim == 2
+                                      else counts[t])]
+            for t in range(y.shape[1])])
+
+    hb = np.asarray(jnp.asarray(h, jnp.bfloat16))
+    p = mr.make_kernel(hb, ratio=ratio)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    y, counts, _ = shard_filt_block(p, mr.init_state(p, (4,), jnp.bfloat16),
+                                    xb, mesh)
+    yref, cref, _ = mr.filt_block(p, mr.init_state(p, (4,), jnp.bfloat16),
+                                  xb, path="supercycle")
+    for c in range(4):
+        got = assemble(y, counts, c).astype(np.float64)
+        want = np.asarray(yref[c])[: int(cref)].astype(np.float64)
+        assert len(got) == len(want)
+        assert np.abs(got - want).max() <= np.abs(want).max() * 2.0 ** -7
+
+    hq, _ = quant.quantize_taps(h)
+    xq, _ = quant.quantize_signal(x)
+    p = mr.make_kernel(hq, ratio=ratio)
+    y, counts, _ = shard_filt_block(p, mr.init_state(p, (4,), jnp.int8),
+                                    xq, mesh)
+    yref, cref, _ = mr.filt_block(p, mr.init_state(p, (4,), jnp.int8),
+                                  xq, path="supercycle")
+    for c in range(4):
+        assert np.array_equal(assemble(y, counts, c),
+                              np.asarray(yref[c])[: int(cref)])
