@@ -57,8 +57,11 @@ def convert(in_path: str, out_path: str, ratio, chunk: int = 1 << 14):
     s = StreamingResampler(f, block_size=1 << 16)
     out = []
     for i in range(0, len(x), chunk):           # arbitrary-sized chunks:
-        s.push(x[i:i + chunk])                  # int16 -> f32 in the ring
-        out.append(s.pull())
+        part = x[i:i + chunk]
+        while part.size:                        # push() reports how many
+            n = s.push(part)                    # samples the ring took —
+            part = part[n:]                     # re-offer any shortfall
+            out.append(s.pull())                # (pull frees ring space)
     out.append(s.flush())                       # exact sub-block tail
     y = np.concatenate([o for o in out if o.size])
 

@@ -1,6 +1,7 @@
-"""Render BENCH_SIDECAR.json as the markdown perf table used in
-README.md/ROADMAP.md — the doc tables are generated from measured data,
-never hand-typed.
+"""Render BENCH_SIDECAR.json as the markdown perf table embedded in
+README.md — the doc table is generated from measured data, never
+hand-typed. (ROADMAP.md's perf narrative cites BENCH_SIDECAR.json
+directly.)
 
 Usage:
     python exp/perf_table.py            # print the table

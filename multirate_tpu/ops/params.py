@@ -128,6 +128,18 @@ def _zc_fields(bank2d: np.ndarray, L: int, M: int, group: int,
     return _prec.split_bf16(jnp.asarray(stack))
 
 
+def _zc_rows(params) -> int:
+    """Zero-copy history rows a kernel's stacks can ever need: f32 stacks
+    (hi/lo pair) run only at S=8; single-stack quantized modes carry their
+    dtype's sublane quantum (bf16 16, int8 32). Carrying more would cost
+    4x sharded halo traffic / checkpoint size for the dominant f32 mode."""
+    from .pallas.rational2 import ZC_S, zc_s
+
+    if params.k_zc_lo is not None:
+        return ZC_S
+    return zc_s(params.k_zc_hi.dtype)
+
+
 def _k_super(pfb2d: np.ndarray, L: int, M: int, group: int) -> "jnp.ndarray":
     """Fresh-stream banded tap matrix, padded by M rows of deficit headroom
     (see compute._select_k / pallas.rational.build_k_matrix)."""
@@ -190,9 +202,7 @@ class FIRStandard:
     @property
     def history_len(self) -> int:
         if self.k_zc_hi is not None:
-            from .pallas.rational2 import ZC_S_MAX
-
-            return ZC_S_MAX * self.sc_group
+            return _zc_rows(self) * self.sc_group
         return self.hlen - 1
 
 
@@ -233,9 +243,7 @@ class FIRInterpolator:
     @property
     def history_len(self) -> int:
         if self.k_zc_hi is not None:
-            from .pallas.rational2 import ZC_S_MAX
-
-            return ZC_S_MAX * self.sc_group
+            return _zc_rows(self) * self.sc_group
         return self.taps_per_phi - 1
 
 
@@ -279,9 +287,7 @@ class FIRDecimator:
     @property
     def history_len(self) -> int:
         if self.k_zc_hi is not None:
-            from .pallas.rational2 import ZC_S_MAX
-
-            return ZC_S_MAX * self.sc_group * self.decimation
+            return _zc_rows(self) * self.sc_group * self.decimation
         return self.hlen - 1
 
 
@@ -344,9 +350,7 @@ class FIRRational:
         with no [history ++ x] concat (pallas/rational2). Non-zc paths
         slice the trailing h_min samples."""
         if self.k_zc_hi is not None:
-            from .pallas.rational2 import ZC_S_MAX
-
-            return ZC_S_MAX * self.sc_group * self.decimation
+            return _zc_rows(self) * self.sc_group * self.decimation
         return self.taps_per_phi - 1
 
 

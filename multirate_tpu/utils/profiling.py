@@ -33,9 +33,9 @@ def on_relay_backend() -> bool:
     """True when the active JAX backend is the axon TPU relay (which cannot
     serve the profiler port)."""
     try:
-        return jax.devices()[0].platform in ("axon",) or (
+        return bool(jax.devices()[0].platform in ("axon",) or (
             jax.default_backend() == "tpu"
-            and os.environ.get("PALLAS_AXON_POOL_IPS"))
+            and os.environ.get("PALLAS_AXON_POOL_IPS")))
     except Exception:  # noqa: BLE001 - no backend at all
         return False
 

@@ -156,13 +156,24 @@ def test_int8_zero_copy_kernel_bit_exact(rng):
         a = np.asarray(y1)[: int(c1)]
         b = np.asarray(y2)[: int(c2)]
         assert a.dtype == np.int32 and np.array_equal(a, b), ratio
+    from multirate_tpu.ops import indexing as idx
+    from multirate_tpu.ops.compute import _out_dtype, _zc_plan
+
     p = mr.make_kernel(hq, ratio=Fraction(147, 160))
     st = mr.init_state(p, (), jnp.int8)
+    assert _zc_plan(p, xq, _out_dtype(p, xq),
+                    idx.max_outputs(p, xq.shape[-1])) is not None
     yw, cw, _ = mr.filt_block(p, st, xq, path="pallas")
     yw = np.asarray(yw)[: int(cw)]
     st = mr.init_state(p, (), jnp.int8)
     parts = []
-    for i in range(0, 150_000, 41_113):
-        y, c, st = mr.filt_block(p, st, xq[i:i + 41_113], path="pallas")
+    # chunk large enough that every chunk gets a zc plan at S=32 (a
+    # too-small chunk silently falls back to the supercycle and the
+    # streaming entry-state/deficit-slab path would go untested)
+    for i in range(0, 150_000, 75_000):
+        xc = xq[i:i + 75_000]
+        assert _zc_plan(p, xc, _out_dtype(p, xc),
+                        idx.max_outputs(p, xc.shape[-1])) is not None
+        y, c, st = mr.filt_block(p, st, xc, path="pallas")
         parts.append(np.asarray(y)[: int(c)])
     assert np.array_equal(np.concatenate(parts), yw)
