@@ -120,6 +120,12 @@ def main():
             log(f"  [{name} / {path}]: {sec*1e3:.3f} ms -> {msps:.0f} Msps")
             if msps > best:
                 best, best_path = msps, path
+        if best_path is None:
+            log(f"  [{name}] every path failed; config skipped")
+            entry = {"name": name, "path": None, "error": "all paths failed"}
+            sidecar["configs"].append(entry)
+            _write_sidecar()
+            return entry
         rate = (float(spec) if not isinstance(spec, Fraction)
                 else spec.numerator / spec.denominator)
         if x_check is None:

@@ -42,6 +42,10 @@ def table() -> str:
         "|---|---|---|---|---|---|",
     ]
     for c in side.get("configs", []):
+        if c.get("path") is None:  # config failed on that run
+            lines.append(f"| {LABELS.get(c['name'], c['name'])} | — "
+                         f"| — | — | — | {c.get('error', 'failed')} |")
+            continue
         lines.append(
             f"| {LABELS.get(c['name'], c['name'])} | `{c['path']}` "
             f"| {c['msps_in']:,.0f} | {c['msps_out']:,.0f} "

@@ -773,7 +773,7 @@ def _farrow_winsel(params: FIRFarrow, xext, u0, d0, n_max, dt):
 
     if dt == jnp.float32 and v3_geometry(
             params.nphi, params.delta_fx, params.taps_per_phi,
-            n_max) is not None:
+            n_max, farrow=True) is not None:
         xs = lax.cond(
             d0 == 1,
             lambda: xext.astype(dt),
@@ -784,7 +784,8 @@ def _farrow_winsel(params: FIRFarrow, xext, u0, d0, n_max, dt):
                                          v4_geometry)
 
             if v4_geometry(params.nphi, params.delta_fx,
-                           params.taps_per_phi, n_max, 8) is not None:
+                           params.taps_per_phi, n_max, 8,
+                           farrow=True) is not None:
                 run = lambda blk: chan_resample_farrow_v4(  # noqa: E731
                     blk, u0, params.coeffs, params.nphi,
                     params.delta_fx, n_max, interpret=interp)

@@ -101,7 +101,18 @@ class V3Geometry:
         return (j * jnp.int32(self.p2)) >> _SH2
 
 
-def v3_geometry(nphi, delta_fx, T, n_out, nsub=16):
+def v3_geometry(nphi, delta_fx, T, n_out, nsub=16, farrow=False):
+    """Geometry or None. nphi gates: the arb packing gives phase 5 bits
+    (bits 11-15) and unpacks with `& (nphi-1)`, so only power-of-two
+    nphi <= 32 is representable; the Farrow psi prep `(rem << 21) // D`
+    needs rem << 21 < 2^63, i.e. nphi <= 1024. Out-of-range configs fall
+    back to the phaseall/windows paths instead of silently corrupting
+    the phase field."""
+    if farrow:
+        if nphi > 1024:
+            return None
+    elif nphi > 32 or (nphi & (nphi - 1)) != 0:
+        return None
     g = V3Geometry(nphi, delta_fx, T, n_out, nsub)
     return g if g.ok else None
 

@@ -86,7 +86,14 @@ class V4Geometry:
         return self
 
 
-def v4_geometry(nphi, delta_fx, T, n_out, C):
+def v4_geometry(nphi, delta_fx, T, n_out, C, farrow=False):
+    """Geometry or None. The arb packing gives phase 5 bits (13-17,
+    below a14 at 18) unpacked with `& (nphi-1)`: power-of-two nphi <= 32
+    only. Farrow's 19-bit psi prep is safe for any nphi the kernels
+    accept (rem << 19 < 2^63 up to nphi = 4096 > the 2048 construction
+    cap)."""
+    if not farrow and (nphi > 32 or (nphi & (nphi - 1)) != 0):
+        return None
     g = V4Geometry(nphi, delta_fx, T, n_out, C)
     return g.finish(delta_fx) if g.ok else None
 

@@ -125,9 +125,15 @@ class QuantizedFIRFilter:
         self._state = None
 
     def _ensure_state(self, xq):
-        if self._state is None or (
-                self._state.history.shape[:-1] != xq.shape[:-1]):
+        if self._state is None:
             self._state = init_state(self.params, xq.shape[:-1], jnp.int8)
+        elif self._state.history.shape[:-1] != xq.shape[:-1]:
+            # silently re-initializing would discard carried phase/deficit/
+            # history mid-stream (same contract as FIRFilter._ensure_state)
+            raise ValueError(
+                f"chunk batch shape {xq.shape[:-1]} differs from the live "
+                f"stream's {self._state.history.shape[:-1]}; construct a "
+                "new QuantizedFIRFilter for a new batch shape")
         return self._state
 
     def filt(self, xq):

@@ -232,3 +232,32 @@ def test_farrow_method_oracle(rng):
     num = np.sqrt(np.mean((y[:n] - ref[:n]) ** 2))
     den = np.sqrt(np.mean(ref[:n] ** 2))
     assert num / den < 1e-5
+
+
+def test_winsel_nonstandard_nphi_falls_back_correct(rng):
+    """The fused winsel kernels pack the phase in 5 bits and unpack with
+    `& (nphi-1)`, so non-power-of-two or >32 nphi CANNOT run them; the
+    geometry gates must route such configs to a correct fallback instead
+    of silently corrupting the phase field (found: nphi=24 gave 0.26
+    relative RMS before the gate)."""
+    import jax.numpy as jnp
+    from multirate_tpu.ops import compute
+
+    h = design_taps().astype(np.float32)
+    x = rng.standard_normal(30_000).astype(np.float32)
+    for nphi in (24, 64):
+        p = mr.make_kernel(h, rate=0.7123, nphi=nphi)
+        st = mr.init_state(p, (), jnp.float32)
+        yw = np.asarray(compute.filt_block_raw(p, st, jnp.asarray(x),
+                                               "windows")[0])
+        y3 = np.asarray(compute.filt_block_raw(p, st, jnp.asarray(x),
+                                               "winsel")[0])
+        rel = np.abs(y3 - yw).max() / np.abs(yw).max()
+        assert rel < 1e-3, (nphi, rel)
+        # batched channels (the chansel dispatch) too
+        xb = jnp.asarray(np.stack([x[:10_000]] * 4))
+        yw = np.asarray(compute.filt_block_raw(
+            p, mr.init_state(p, (4,), jnp.float32), xb, "windows")[0])
+        y4 = np.asarray(compute.filt_block_raw(
+            p, mr.init_state(p, (4,), jnp.float32), xb, "winsel")[0])
+        assert np.abs(y4 - yw).max() / np.abs(yw).max() < 1e-3, nphi
