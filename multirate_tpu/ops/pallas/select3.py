@@ -102,16 +102,15 @@ class V3Geometry:
 
 
 def v3_geometry(nphi, delta_fx, T, n_out, nsub=16, farrow=False):
-    """Geometry or None. nphi gates: the arb packing gives phase 5 bits
-    (bits 11-15) and unpacks with `& (nphi-1)`, so only power-of-two
-    nphi <= 32 is representable; the Farrow psi prep `(rem << 21) // D`
-    needs rem << 21 < 2^63, i.e. nphi <= 1024. Out-of-range configs fall
-    back to the phaseall/windows paths instead of silently corrupting
-    the phase field."""
+    """Geometry or None. nphi gates: the arb packing gives the phase a
+    5-bit field (bits 11-15, below a16), so nphi <= 32 is the hard limit;
+    the Farrow psi prep `(rem << 21) // D` needs rem << 21 < 2^63, i.e.
+    nphi <= 1024. Out-of-range configs fall back to the phaseall/windows
+    paths instead of silently corrupting the phase field."""
     if farrow:
         if nphi > 1024:
             return None
-    elif nphi > 32 or (nphi & (nphi - 1)) != 0:
+    elif nphi > 32:
         return None
     g = V3Geometry(nphi, delta_fx, T, n_out, nsub)
     return g if g.ok else None
@@ -225,9 +224,11 @@ def _k3_arb(pk_ref, rb_ref, xa, xb, banks, o_ref, *, NSUB: int, RQS: int,
         rb = rb_ref[sub, k]
         xs_h, xs_l = _sub_slice(xcat, rb, RQS)
         A, A2, lane = _select_rows(pk, xs_h, xs_l, iota_r)
+        # mask the full 5-bit field (NOT nphi-1: that mask is only
+        # correct for power-of-two nphi); any phi value <= 31 survives
         phi = jax.lax.bitwise_and(
             jax.lax.shift_right_logical(pk, jnp.int32(_Q_BITS)),
-            jnp.int32(NPHI - 1))
+            jnp.int32(31))
         alpha = jax.lax.shift_right_logical(pk, jnp.int32(16)).astype(f32) \
             * jnp.float32(2.0 ** -16)
         ohp = (iota_p == phi[:, None]).astype(jnp.bfloat16)

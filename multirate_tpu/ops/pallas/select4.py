@@ -87,12 +87,11 @@ class V4Geometry:
 
 
 def v4_geometry(nphi, delta_fx, T, n_out, C, farrow=False):
-    """Geometry or None. The arb packing gives phase 5 bits (13-17,
-    below a14 at 18) unpacked with `& (nphi-1)`: power-of-two nphi <= 32
-    only. Farrow's 19-bit psi prep is safe for any nphi the kernels
-    accept (rem << 19 < 2^63 up to nphi = 4096 > the 2048 construction
-    cap)."""
-    if not farrow and (nphi > 32 or (nphi & (nphi - 1)) != 0):
+    """Geometry or None. The arb packing gives the phase a 5-bit field
+    (bits 13-17, below a14 at 18): nphi <= 32 is the hard limit. Farrow's
+    19-bit psi prep is safe for any nphi the kernels accept (rem << 19 <
+    2^63 up to nphi = 4096 > the 2048 construction cap)."""
+    if not farrow and nphi > 32:
         return None
     g = V4Geometry(nphi, delta_fx, T, n_out, C)
     return g.finish(delta_fx) if g.ok else None
@@ -150,9 +149,10 @@ def _k4_common(pk, banks_or_coeffs, T, NPHI, farrow, P1=0):
                  + jnp.dot(clT, ph, preferred_element_type=f32)
                  + jnp.dot(chT, plo, preferred_element_type=f32))
         return qrel, tapsT                      # (T128, NO)
+    # full 5-bit field mask (nphi-1 is only a valid mask for pow2 nphi)
     phi = jax.lax.bitwise_and(
         jax.lax.shift_right_logical(pk, jnp.int32(_QBITS)),
-        jnp.int32(NPHI - 1))
+        jnp.int32(31))
     alpha = jax.lax.shift_right_logical(pk, jnp.int32(18)).astype(f32) \
         * jnp.float32(2.0 ** -14)
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (NPHI, phi.shape[0]), 0)
