@@ -160,6 +160,9 @@ def main():
     try:
         import bench
         bench.main()
+        subprocess.run([sys.executable, "exp/perf_table.py", "--apply"],
+                       cwd=REPO, check=False)
+        log("README perf table refreshed from sidecar")
     except Exception as e:       # noqa: BLE001
         log(f"bench FAILED: {type(e).__name__}: {e}")
     log("runner done")
