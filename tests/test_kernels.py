@@ -295,12 +295,15 @@ def test_sweep_random(rng):
                     and tx in (np.float32, np.complex64):
                 from test_arbitrary import design_taps
 
-                ha = design_taps(32).astype(th)
+                # randomize nphi too (incl. non-power-of-two: the fused
+                # kernels' 5-bit phase field must hold ANY nphi <= 32)
+                nphi = int(rng.choice([16, 24, 31, 32]))
+                ha = design_taps(nphi).astype(th)
                 rate = float(r) + float(rng.random())
-                ya = np.asarray(mr.filt(ha, x, rate, 32))
+                ya = np.asarray(mr.filt(ha, x, rate, nphi))
                 na = naivefilt(ha.astype(np.float64),
                                x.astype(np.complex128 if tx == np.complex64
-                                        else np.float64), rate, 32)
+                                        else np.float64), rate, nphi)
                 n = min(len(ya), len(na))
                 assert abs(len(ya) - len(na)) <= 2
                 err = np.abs(ya[:n] - na[:n].astype(out_dt))
