@@ -39,19 +39,18 @@ from .. import precision as prec
 __all__ = ["rational_supercycle_grouped", "band_groups", "padded_need",
            "default_jt", "band_groups_zc", "zc_geometry",
            "rational_zc_main", "build_k_zc_stack", "ZC_S", "ZC_S_BF16",
-           "ZC_S_MAX", "ZC_S_INT8", "zc_s"]
+           "ZC_S_INT8", "zc_s"]
 
 # Zero-copy history depth: the streaming state carries the last S rows
 # (S*gM samples) of the stream, so the kernel reads the new block x IN
 # PLACE (natural (rows, gM) reshape) with no [history ++ x] concat — the
 # concat costs a full extra HBM read+write pass, as much as the kernel
-# itself at roofline. 8 rows = the f32 sublane quantum; bf16 memory tiles
-# are (16, 128) so the bf16 quantized mode runs at S = 16 (state carries
-# ZC_S_MAX rows for every dtype; each kernel reads its trailing S).
+# itself at roofline. S is the sublane quantum of the input dtype: f32 8,
+# bf16 16 ((16, 128) memory tiles), int8 32. The streaming state carries
+# exactly the rows its mode needs (params._zc_rows).
 ZC_S = 8
 ZC_S_BF16 = 16
 ZC_S_INT8 = 32
-ZC_S_MAX = 32
 
 
 def zc_s(dtype) -> int:
@@ -523,8 +522,8 @@ def _kernel_zc_main(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, *rest,
                     JT: int, gM: int, groups: tuple, three_pass: bool):
     pid = pl.program_id(0)
     cdt = _zc_compute_dtype(xa_ref.dtype)
-    first = jnp.where(pid == jnp.int32(0), hist_ref[...].astype(cdt),
-                      prev_ref[...].astype(cdt))
+    first = jnp.where(pid == jnp.int32(0), hist_ref[...],
+                      prev_ref[...]).astype(cdt)
     xcat = jnp.concatenate(
         [first, xa_ref[...].astype(cdt), next_ref[...].astype(cdt)], axis=0)
     _zc_body(xcat, rest, JT=JT, gM=gM, groups=groups,

@@ -124,7 +124,9 @@ def _zc_fields(bank2d: np.ndarray, L: int, M: int, group: int,
             pad = q - stack.shape[1] % q
             stack = np.pad(stack, ((0, 0), (0, pad), (0, 0)))
         dt = jnp.int8 if int8 else jnp.bfloat16
-        return jnp.asarray(stack.astype(dt) if int8 else stack, dt), None
+        # cast on host: uploading f32 then casting on device would
+        # transiently double the (possibly ~100 MB) stack's footprint
+        return jnp.asarray(stack.astype(dt)), None
     return _prec.split_bf16(jnp.asarray(stack))
 
 
