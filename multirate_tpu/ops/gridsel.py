@@ -217,10 +217,13 @@ def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
                          farrow=True)
     x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles)
     P1, T = coeffs.shape
-    P8 = -(-P1 // 8) * 8
-    T8 = -(-T // 8) * 8
-    cf = jnp.zeros((P8, T8), jnp.float32).at[:P1, :T].set(
-        coeffs.astype(jnp.float32))
+    # lane-pre-broadcast layout: row p*T + t = coeffs[p, t] across all L2p
+    # lanes (the kernel's placement stages need (1, L2p) rows — Mosaic has
+    # no both-axes vector broadcast)
+    PT8 = -(-(P1 * T) // 8) * 8
+    cf = jnp.zeros((PT8, L2p), jnp.float32).at[:P1 * T, :].set(
+        jnp.broadcast_to(coeffs.astype(jnp.float32).reshape(P1 * T, 1),
+                         (P1 * T, L2p)))
     interp = jax.default_backend() != "tpu"
     # Farrow's only crossing is the window step: psi jumps by -dir*nphi
     kw = dict(JT=JT, M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,

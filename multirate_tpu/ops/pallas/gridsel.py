@@ -161,13 +161,17 @@ def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
 
     iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
     z = jnp.float32(0.0)
-    cf = cf_ref[...]                                      # (P1pad8, T128)
+    # cf rows are LANE-PRE-BROADCAST on the host: row p*T + t holds
+    # coeffs[p, t] across all L2p lanes, so each placement stage is a
+    # sublane-only (1, L2p) broadcast — Mosaic cannot lower a (1, 1)
+    # vector broadcast in both sublanes and lanes.
+    cf = cf_ref[...]                                      # (P1*Tpad8, L2p)
     ks = [jnp.zeros((sp2, L2p), f32) for _ in range(2 * P1)]
     for t in range(T):
         mA = iou == (qA + jnp.int32(t))[None, :]
         mB = iou == (qB + jnp.int32(t))[None, :]
         for p in range(P1):
-            c = cf[p:p + 1, t:t + 1]                      # (1, 1) scalar tap
+            c = cf[p * T + t: p * T + t + 1, :]           # (1, L2p) tap row
             ks[p] = ks[p] + jnp.where(mA, c, z)
             ks[P1 + p] = ks[P1 + p] + jnp.where(mB, c, z)
 

@@ -102,10 +102,14 @@ def rational_supercycle_pallas(x, K, L: int, M: int, n_out: int,
     k_parts = -(-U // M)
     JT2 = max(8, -(-(k_parts - 1) // 8) * 8)
     if JT is None:
-        # ~512K input samples per tile block, bounded tile VMEM footprint
+        # ~512K input samples per tile block, bounded tile VMEM footprint.
+        # Round UP to the JT2 quantum (doubling-until-divisible blew the
+        # tile to ~2700 rows for wide-M geometries: ~20 MB scoped VMEM,
+        # past the 16 MB limit).
         JT = max(JT2, min(512, 131072 // M))
-        while JT * M < U or JT % JT2:
-            JT *= 2
+        JT = -(-JT // JT2) * JT2
+        while JT * M < U:
+            JT += JT2
     if U > JT * M:
         raise ValueError(f"tile too small: U={U} > JT*M={JT * M}")
     while JT % JT2 and JT2 < JT:
