@@ -157,7 +157,6 @@ def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
     rowc = rowc_ref[sub, :]
     a0 = a0_ref[sub, :]                                   # psi0 (1-based)
     qA = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
-    qB = qA + jnp.int32(dir_)
 
     iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
     z = jnp.float32(0.0)
@@ -166,14 +165,21 @@ def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
     # sublane-only (1, L2p) broadcast — Mosaic cannot lower a (1, 1)
     # vector broadcast in both sublanes and lanes.
     cf = cf_ref[...]                                      # (P1*Tpad8, L2p)
-    ks = [jnp.zeros((sp2, L2p), f32) for _ in range(2 * P1)]
+    ksA = [jnp.zeros((sp2, L2p), f32) for _ in range(P1)]
     for t in range(T):
         mA = iou == (qA + jnp.int32(t))[None, :]
-        mB = iou == (qB + jnp.int32(t))[None, :]
         for p in range(P1):
             c = cf[p * T + t: p * T + t + 1, :]           # (1, L2p) tap row
-            ks[p] = ks[p] + jnp.where(mA, c, z)
-            ks[P1 + p] = ks[P1 + p] + jnp.where(mB, c, z)
+            ksA[p] = ksA[p] + jnp.where(mA, c, z)
+    # Variant B is q stepped by dir_ with the SAME polynomial taps (Farrow
+    # coeffs span all banks), so K_B is K_A rolled dir_ sublane rows. The
+    # wrapped row is zero under the plan's own placement bound (q_B + T <=
+    # sp2 and q_B >= 0, which the compare-placement build needs anyway).
+    if dir_ == 0:
+        ksB = ksA
+    else:
+        ksB = [pltpu.roll(k, jnp.int32(dir_ % sp2), axis=0) for k in ksA]
+    ks = ksA + ksB
 
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)
     mm = _make_mm(xcat, JT, M2, sp2, three_pass)
