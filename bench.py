@@ -200,8 +200,10 @@ def main():
     sidecar["chunked_vs_whole_rms"] = rms
 
     # the driver's line goes out BEFORE the (long) sweep so a wedged relay
-    # mid-sweep cannot lose the headline result
-    print(json.dumps({
+    # mid-sweep cannot lose the headline result; it is RE-printed as the
+    # very last stdout line below because the driver's bounded tail capture
+    # dropped it in round 2 (BENCH_r02.json parsed=null)
+    headline_json = json.dumps({
         "metric": "rational_147_160_1M_f32_throughput",
         "value": round(msps, 1),
         "unit": "Msamples/s",
@@ -209,7 +211,8 @@ def main():
         "chunked_vs_whole_rms": rms,
         "oracle_rel_rms": head["oracle_rel_rms"],
         "roofline_pct": head["roofline_pct"],
-    }), flush=True)
+    })
+    print(headline_json, flush=True)
 
     # ---- full BASELINE config sweep ---------------------------------- #
     if os.environ.get("BENCH_HEADLINE_ONLY") is None:
@@ -281,6 +284,8 @@ def main():
 
     _write_sidecar()
     log(f"sidecar written: {side_path}")
+    # LAST stdout line == the driver's headline JSON (survives tail capture)
+    print(headline_json, flush=True)
 
 
 if __name__ == "__main__":

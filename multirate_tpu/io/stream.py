@@ -173,7 +173,10 @@ class StreamingResampler:
 
     def _run_block(self, blk: np.ndarray):
         t0 = time.perf_counter()
-        y = np.asarray(self._filter.filt(blk))
+        # y stays ON DEVICE (host transfer deferred to pull()): the block
+        # loop issues pure async dispatches — no per-block device sync at
+        # all (the output count is closed-form on the host, ops/api.py)
+        y = self._filter.filt(blk)
         dt = time.perf_counter() - t0
         self._out.append(y)
         self._blocks += 1
@@ -244,10 +247,11 @@ class StreamingResampler:
         return queued
 
     def pull(self) -> np.ndarray:
-        """All output produced so far (concatenated); empties the queue."""
+        """All output produced so far (concatenated); empties the queue.
+        This is where the deferred device->host transfer happens."""
         if not self._out:
             return np.empty(0, np.float32)
-        out = np.concatenate(self._out)
+        out = np.concatenate([np.asarray(y) for y in self._out])
         self._out.clear()
         return out
 
@@ -260,12 +264,19 @@ class StreamingResampler:
 
         tail = self.ring.drain()
         if tail.size:
-            st = self._filter.state
-            true_count = outputlength(self._filter.params, int(tail.size),
-                                      state=st)
+            f = self._filter
+            if f._hphase is not None:
+                # host index mirror (no device readback of phase/deficit)
+                from ..ops.indexing import host_carry
+
+                true_count = host_carry(f.params, f._hphase, f._hdeficit,
+                                        int(tail.size))[0]
+            else:
+                true_count = outputlength(f.params, int(tail.size),
+                                          state=f.state)
             padded = np.zeros(self.block_size, np.float32)
             padded[: tail.size] = tail
-            y = np.asarray(self._filter.filt(padded))
+            y = self._filter.filt(padded)
             self._out.append(y[..., : true_count])
             self._consumed += tail.size
             self._produced += true_count

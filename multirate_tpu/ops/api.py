@@ -109,7 +109,28 @@ class FIRFilter:
         else:
             self.params = make_kernel(h, ratio=ratio_or_rate)
         self.path = path
-        self.state: FilterState | None = None
+        self._state: FilterState | None = None
+        # host-int mirror of (phase, deficit): lets filt() slice the output
+        # by the exact closed-form count with NO device->host readback per
+        # block (int(count) costs a ~25-32 ms RTT on the TPU relay). Kept
+        # bit-exactly in lockstep by indexing.host_carry.
+        self._hphase: int | None = None
+        self._hdeficit: int | None = None
+
+    @property
+    def state(self):
+        return self._state
+
+    @state.setter
+    def state(self, s):
+        """External state assignment (checkpoint resume, tests) re-syncs the
+        host index mirror — the ONE place a device readback is paid."""
+        self._state = s
+        if s is None:
+            self._hphase = self._hdeficit = None
+        else:
+            self._hphase = int(s.phase)
+            self._hdeficit = int(s.deficit)
 
     @property
     def kernel(self):
@@ -121,7 +142,12 @@ class FIRFilter:
 
     def _ensure_state(self, x):
         if self.state is None:
-            self.state = init_state(self.params, x.shape[:-1], x.dtype)
+            # fresh stream: the initial (phase, deficit) are known statically
+            # (init_state: phase 1 rational / 0 accum, deficit 1) — set the
+            # host mirror directly, no device readback even at stream start
+            self._state = init_state(self.params, x.shape[:-1], x.dtype)
+            self._hphase = 1 if isinstance(self.params, FIRRational) else 0
+            self._hdeficit = 1
         elif self.state.history.shape[:-1] != x.shape[:-1]:
             # Silently re-initializing would discard carried phase/deficit/
             # history (including a prior setphase) — a silent stream
@@ -133,7 +159,8 @@ class FIRFilter:
         elif self.state.history.dtype != x.dtype:
             # Keep phase/deficit (e.g. set via setphase before the first
             # chunk); only the history buffer tracks the signal dtype.
-            self.state = FilterState(
+            # The host mirror is unchanged — assign _state directly.
+            self._state = FilterState(
                 history=self.state.history.astype(x.dtype),
                 phase=self.state.phase, deficit=self.state.deficit)
 
@@ -147,9 +174,13 @@ class FIRFilter:
         self._ensure_state(x)
         fb = filt_block if jax.default_backend() == "cpu" \
             else filt_block_inplace
-        y, count, self.state = fb(self.params, self.state, x,
-                                  path=self.path)
-        return y[..., : int(count)]
+        # closed-form host count (exact mirror of the device carry): the
+        # output slice needs no device sync — assign _state directly so the
+        # re-sync readback in the state setter stays off the hot path
+        count, self._hphase, self._hdeficit = _idx.host_carry(
+            self.params, self._hphase, self._hdeficit, x.shape[-1])
+        y, _, self._state = fb(self.params, self._state, x, path=self.path)
+        return y[..., :count]
 
     __call__ = filt
 

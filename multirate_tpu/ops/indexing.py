@@ -33,7 +33,7 @@ from .params import (
 
 __all__ = [
     "rational_indices", "rational_count", "rational_carry",
-    "accum_indices", "accum_count", "accum_carry",
+    "accum_indices", "accum_count", "accum_carry", "host_carry",
     "nextphase", "outputlength", "inputlength", "max_outputs",
 ]
 
@@ -150,6 +150,42 @@ def accum_carry(nphi: int, delta_fx: int, u0, d0, xlen):
     # u_end = u0 + count * delta_fx; carry = (u_end % D, d0 + u_end//D - xlen)
     q, r = _muladd_divmod(count, delta_fx, u0, D)
     return count, r, d0 + q - xlen
+
+
+def host_carry(params, phase: int, deficit: int, xlen: int):
+    """Exact host-int mirror of the device count/state update.
+
+    Returns (count, phase', deficit') as plain python ints, reproducing
+    BIT-exactly what filt_block's device-side rational_carry/accum_carry
+    compute for the same entry state (python ints are arbitrary precision,
+    so this is exact for any stream offset). Stream drivers (FIRFilter,
+    StreamingResampler) use it to slice outputs WITHOUT a device->host
+    readback of the traced count — on the axon TPU relay that readback is
+    a ~25-32 ms RTT per block, dwarfing the kernel itself.
+    """
+    phase, deficit, xlen = int(phase), int(deficit), int(xlen)
+    if isinstance(params, FIRStandard):
+        return xlen, phase, deficit
+    if isinstance(params, FIRInterpolator):
+        return params.interpolation * xlen, phase, deficit
+    if isinstance(params, FIRDecimator):
+        # device path: rational_carry(1, M, 1, deficit, xlen), phase kept
+        M = params.decimation
+        c = max(((xlen - deficit + 1) - 1) // M + 1, 0)
+        t_end = c * M
+        return c, phase, deficit + t_end - xlen
+    if isinstance(params, FIRRational):
+        L, M = params.interpolation, params.decimation
+        c = max(((xlen - deficit + 1) * L - phase) // M + 1, 0)
+        t_end = (phase - 1) + c * M
+        return c, (t_end % L) + 1, deficit + t_end // L - xlen
+    if isinstance(params, (FIRArbitrary, FIRFarrow)):
+        D = params.nphi << PHASE_FRAC_BITS
+        dfx = params.delta_fx
+        c = max(((xlen - deficit + 1) * D - 1 - phase) // dfx + 1, 0)
+        u_end = phase + c * dfx
+        return c, u_end % D, deficit + u_end // D - xlen
+    raise TypeError(f"unknown kernel {type(params)}")
 
 
 # --------------------------------------------------------------------------- #

@@ -164,3 +164,34 @@ def test_streaming_kill_and_resume(rng, tmp_path):
     np.testing.assert_allclose(pre, whole[:ckpt_produced],
                                rtol=1e-5, atol=1e-6)
     assert ckpt_produced + got_tail.size == whole.size
+
+
+@pytest.mark.parametrize("spec", [Fraction(147, 160), 0.76543])
+def test_streaming_no_device_sync_per_block(rng, spec):
+    """The block loop must be pure async dispatch: the per-block output
+    count comes from the closed-form host index mirror (ops/indexing
+    host_carry), never from a device->host readback of the traced count
+    (a ~25-32 ms RTT per block on the TPU relay). Guarded for both a bare
+    FIRFilter loop and the StreamingResampler driver."""
+    import jax
+
+    h = (mr.firdes(24 * 7, 0.5 / 7, mr.kaiser, beta=7.0) * 7
+         ).astype(np.float32)
+    x = rng.standard_normal(3 * 4096).astype(np.float32)
+
+    f = mr.FIRFilter(h, spec)
+    outs = []
+    with jax.transfer_guard_device_to_host("disallow"):
+        for i in range(3):
+            outs.append(f.filt(x[i * 4096:(i + 1) * 4096]))
+    got = np.concatenate([np.asarray(y) for y in outs])
+    whole = np.asarray(mr.filt(h, x, spec))
+    assert_close(got, whole[: len(got)], rtol=1e-5, atol=1e-6,
+                 label=f"guarded stream {spec}")
+    assert len(got) == len(whole)
+
+    s = StreamingResampler(mr.FIRFilter(h, spec), block_size=4096)
+    with jax.transfer_guard_device_to_host("disallow"):
+        s.push(x)
+    got2 = s.pull()
+    np.testing.assert_array_equal(got2, got)
