@@ -68,7 +68,7 @@ def _convergents(num: int, den: int, max_den: int):
 
 
 def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
-                       farrow: bool = False):
+                       farrow: bool = False, polyorder: int | None = None):
     """GridselMeta or None when no viable geometry exists."""
     D = nphi << PHASE_FRAC_BITS
     d_max = delta_fx // D + 2
@@ -97,6 +97,30 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
         L2p = -(-L2 // 128) * 128
         sp2 = -(-(M2 + base) // 8) * 8
         if sp2 > 2 * M2:
+            continue
+        # Placement bound, checked statically (the Farrow kernel builds
+        # variant-B tap matrices by a CIRCULAR sublane roll of variant A —
+        # a violated bound would silently wrap a nonzero row into accB):
+        # q = PAD_L + (d0-1) + (u0 + r*delta + jj*eps) div D with
+        # d0-1 in [0, d_max-1], u0 in [0, D), r <= L2-1, and the in-cap
+        # drift |jj*eps| <= _DRIFT_SLOTS*D. Variant B steps q by +-1.
+        q_hi = (PAD_L + (d_max - 1)
+                + ((D - 1) + (L2 - 1) * delta_fx) // D + _DRIFT_SLOTS)
+        q_lo = PAD_L - _DRIFT_SLOTS
+        if not (q_lo - 1 >= 0 and q_hi + 1 + T <= sp2):
+            continue
+        # VMEM ceiling (~16 MiB/core; keep headroom for double buffering
+        # and Mosaic temporaries). Majors: the in-kernel tap matrices
+        # ((sp2, L2p) f32 x nK), the lane-pre-broadcast Farrow cf bank
+        # ((ceil8(P1*T), L2p) f32 — ADVICE r2: it grows with T*P1*L2p and
+        # was previously unaccounted), x tiles, and (JT, L2p) row temps.
+        P1 = (polyorder + 1) if (farrow and polyorder is not None) else 1
+        n_k = 2 * P1 if farrow else 4
+        vmem = 4 * (n_k * sp2 * L2p
+                    + (-(-(P1 * T) // 8) * 8) * L2p * (1 if farrow else 0)
+                    + 2 * (jt + 8) * M2
+                    + 6 * jt * L2p)
+        if vmem > 12 * (1 << 20):
             continue
         nvar = (2 * (1 if farrow else 2)) * ((T + 1) if farrow else 1)
         # cost per output, MXU MACs normalized to VPU ops (~25x thruput):

@@ -459,7 +459,8 @@ class FIRFarrow:
         from .ratgrid import build_ratgrid_plan
         rg_meta, rg_k = build_ratgrid_plan(C, nphi, dfx)
         from .gridsel import build_gridsel_plan
-        gs_meta = build_gridsel_plan(nphi, dfx, bank.shape[0], farrow=True)
+        gs_meta = build_gridsel_plan(nphi, dfx, bank.shape[0], farrow=True,
+                                     polyorder=polyorder)
         return cls(pfb=jnp.asarray(bank), coeffs=jnp.asarray(C),
                    kf_super=_k_super(cbank, P1, 1, g),
                    k_ratgrid=None if rg_k is None else jnp.asarray(rg_k),
