@@ -348,11 +348,37 @@ def band_groups_zc(T: int, L: int, M: int, group: int, h_min: int,
 
 def zc_groups(T: int, L: int, M: int, group: int, h_min: int,
               shift_slack: int = 0):
-    """Group plan at 8-lane alignment. (128-lane alignment would make the
-    per-group lane rolls disappear, but measured SLOWER on the v5e
-    headline — 30.7 vs 41.9 Gsps — the ~1.3x wider spans cost more in
-    matmul+K traffic than the rolls they save.)"""
+    """Group plan for the zero-copy kernel.
+
+    When the row width gM is a multiple of 128, prefer 128-lane-aligned
+    band starts: the v4 chunked body (`_zc_body_v4`) then assembles every
+    x window from FREE 128-aligned vreg slices of the raw input block
+    plus two narrow (128-lane) boundary strips — zero full-block rolls.
+    (With the OLD roll-based body, 128-alignment measured SLOWER — 30.7
+    vs 41.9 Gsps — because the ~1.3x wider spans cost more than the lane
+    rolls they saved; the v4 body removes the 3 full-block sublane rolls
+    AND the per-group lane rolls, flipping that trade.) Geometries where
+    128-alignment pushes a span past one row width gM fall back to
+    8-alignment + the roll-based body."""
+    if (group * M) % 128 == 0 and not ZC_FORCE_ALIGN8:
+        g128 = band_groups_zc(T, L, M, group, h_min, shift_slack,
+                              lane_align=128)
+        if g128 is not None:
+            return g128
     return band_groups_zc(T, L, M, group, h_min, shift_slack, lane_align=8)
+
+
+# Experiment knob: force the 8-aligned roll-based geometry even when the
+# v4 chunked geometry applies (exp/exp11_v4_ab.py A/B runs). Must be set
+# both at kernel construction AND around the timed call (the plan is
+# re-derived at trace time).
+ZC_FORCE_ALIGN8: bool = False
+
+
+def _v4_ok(gM: int, groups: tuple) -> bool:
+    """True when the chunked roll-free assembly applies (all band starts
+    and the row width on the 128-lane vreg grid)."""
+    return gM % 128 == 0 and all(b8 % 128 == 0 for (_, _, b8, _) in groups)
 
 
 def build_k_zc_stack(pfb2d: np.ndarray, L: int, M: int, group: int,
@@ -518,9 +544,116 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
         o_ref[:, c0:c1] = acc.astype(out_dtype)
 
 
+def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
+                groups: tuple, three_pass: bool, in_dt, out_dtype):
+    """Roll-free chunked contraction body (requires `_v4_ok` geometry).
+
+    Every group band start b8 and the row width gM sit on the 128-lane
+    vreg grid, so each group's x window decomposes into 128-lane chunks
+    that are FREE vreg slices of the raw input rows (``f_xa`` — the u=S
+    row view IS the input block, no assembly at all), plus at most two
+    narrow boundary strips (u = S-1 / S+1: a (JT+2S, 128) three-piece
+    concat + one narrow sublane roll — ~gM/128 x cheaper than the
+    full-block rowview rolls of the v3 body, and there are zero per-group
+    lane rolls). Chunks and their bf16x3 splits are cached across groups
+    (adjacent group bands overlap by ~T+slack rows).
+
+    ``f_first(l0)`` / ``f_xa(lm)`` / ``f_next(l0)`` return the (S, 128) /
+    (JT, 128) / (S, 128) lane window [l0, l0+128) of the rows just
+    before / of / just after the tile's input rows, in ``in_dt``.
+    """
+    if three_pass:
+        kh_ref, kl_ref, o_ref = rest
+    else:
+        (k_ref, o_ref) = rest
+    f32 = jnp.float32
+    total = JT + 2 * S
+    wide = _zc_compute_dtype(in_dt)          # 32-bit dtype rolls operate in
+    if three_pass:
+        mm_dt = None                         # split pair, handled in mmk
+    else:
+        mm_dt = k_ref.dtype if k_ref.dtype in (jnp.bfloat16, jnp.int8) \
+            else wide
+
+    strips: dict = {}                        # l0 -> (total, 128) in `wide`
+    chunks: dict = {}                        # (u, lm) -> chunk / split pair
+
+    def strip(l0):
+        if l0 not in strips:
+            strips[l0] = jnp.concatenate(
+                [f_first(l0).astype(wide), f_xa(l0).astype(wide),
+                 f_next(l0).astype(wide)], axis=0)
+        return strips[l0]
+
+    def chunk(u, lm):
+        key = (u, lm)
+        if key not in chunks:
+            if u == S:
+                xs = f_xa(lm)
+            else:
+                xs = pltpu.roll(strip(lm), jnp.int32(total - u),
+                                axis=0)[:JT]
+            if three_pass:
+                chunks[key] = prec.split_bf16(xs.astype(f32))
+            else:
+                chunks[key] = xs.astype(mm_dt)
+        return chunks[key]
+
+    def mmk(xs, kr0, w, cs, wc):
+        if three_pass:
+            xh16, xl16 = xs
+            if w < 128:
+                xh16, xl16 = xh16[:, :w], xl16[:, :w]
+            kh = kh_ref[0, kr0:kr0 + w, cs:cs + wc]
+            kl = kl_ref[0, kr0:kr0 + w, cs:cs + wc]
+            acc = jnp.dot(xh16, kh, preferred_element_type=f32)
+            acc = acc + jnp.dot(xh16, kl, preferred_element_type=f32)
+            acc = acc + jnp.dot(xl16, kh, preferred_element_type=f32)
+            return acc
+        if w < 128:
+            xs = xs[:, :w]
+        kd = k_ref.dtype
+        if kd == jnp.bfloat16:
+            return jnp.dot(xs, k_ref[0, kr0:kr0 + w, cs:cs + wc],
+                           preferred_element_type=f32)
+        if kd == jnp.int8:
+            return jnp.dot(xs, k_ref[0, kr0:kr0 + w, cs:cs + wc],
+                           preferred_element_type=jnp.int32)
+        return jnp.dot(xs, k_ref[0, kr0:kr0 + w, cs:cs + wc],
+                       preferred_element_type=xs.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    for gi, (c0, c1, b8, span) in enumerate(groups):
+        k0 = (S - 1) + b8 // gM
+        lane = b8 % gM
+        wc = c1 - c0
+        acc = None
+        for kr0 in range(0, span, 128):
+            w = min(128, span - kr0)
+            al = lane + kr0
+            part = mmk(chunk(k0 + al // gM, al % gM), kr0, w,
+                       gi * 128, wc)
+            acc = part if acc is None else acc + part
+        o_ref[:, c0:c1] = acc.astype(out_dtype)
+
+
 def _kernel_zc_main(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, *rest,
                     JT: int, gM: int, groups: tuple, three_pass: bool):
     pid = pl.program_id(0)
+    if _v4_ok(gM, groups):
+        S = hist_ref.shape[0]
+
+        def f_first(l0):
+            return jnp.where(pid == jnp.int32(0),
+                             hist_ref[:, l0:l0 + 128],
+                             prev_ref[:, l0:l0 + 128])
+
+        _zc_body_v4(f_first, lambda lm: xa_ref[:, lm:lm + 128],
+                    lambda l0: next_ref[:, l0:l0 + 128], rest,
+                    S=S, JT=JT, gM=gM, groups=groups,
+                    three_pass=three_pass, in_dt=xa_ref.dtype,
+                    out_dtype=rest[-1].dtype)
+        return
     cdt = _zc_compute_dtype(xa_ref.dtype)
     first = jnp.where(pid == jnp.int32(0), hist_ref[...],
                       prev_ref[...]).astype(cdt)
@@ -533,6 +666,16 @@ def _kernel_zc_main(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, *rest,
 def _kernel_zc_tail(dsel_ref, xt_ref, *rest, JT: int, gM: int,
                     groups: tuple, three_pass: bool):
     # rest = (*k_refs, prev_out_ref(ANY, ignored), o_ref)
+    if _v4_ok(gM, groups):
+        S = (xt_ref.shape[0] - JT) // 2
+        _zc_body_v4(lambda l0: xt_ref[0:S, l0:l0 + 128],
+                    lambda lm: xt_ref[S:S + JT, lm:lm + 128],
+                    lambda l0: xt_ref[S + JT:, l0:l0 + 128],
+                    (*rest[:-2], rest[-1]),
+                    S=S, JT=JT, gM=gM, groups=groups,
+                    three_pass=three_pass, in_dt=xt_ref.dtype,
+                    out_dtype=rest[-1].dtype)
+        return
     cdt = _zc_compute_dtype(xt_ref.dtype)
     _zc_body(xt_ref[...].astype(cdt), (*rest[:-2], rest[-1]), JT=JT, gM=gM,
              groups=groups, three_pass=three_pass,
@@ -616,7 +759,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                     pl.BlockSpec((JT + 2 * S, M),
                                  lambda j, d_ref: (j * 0, j * 0)),
                     *k_specs,
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec((JT, L),
                                        lambda j, d_ref, _t=T_ok: (j * 0 + _t,
