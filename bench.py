@@ -37,8 +37,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def roofline_msps(rate, itemsize=4):
-    return HBM_GBPS * 1e9 / (itemsize * (1.0 + rate)) / 1e6
+def roofline_msps(rate, itemsize=4, itemsize_out=None):
+    """Light-speed input Msps: each input sample costs ``itemsize`` bytes
+    read + rate * ``itemsize_out`` written. The int8 mode reads int8 but
+    writes EXACT int32 accumulators (the bit-exact chunked==whole
+    invariant is the mode's point; re-quantization to int8 outputs is the
+    separate cascade mode), so its honest roofline counts 4-byte outputs
+    — not the symmetric "4x f32" figure round 2 reported."""
+    if itemsize_out is None:
+        itemsize_out = itemsize
+    return HBM_GBPS * 1e9 / (itemsize + rate * itemsize_out) / 1e6
 
 
 def accuracy_rms(mr, params, h, spec, x_np, y_dev, n_check=200_000):

@@ -17,7 +17,11 @@ import multirate_tpu as mr
 from multirate_tpu.utils.metrics import measure_chained
 
 
-def main(n_samples: int = 1_000_000):
+def main(n_samples: int = 1_000_000, rates=None, dtypes=None,
+         repeat: int = 10, iters: int = 5):
+    """``rates``/``dtypes``/``repeat``/``iters`` shrink the sweep (the test
+    suite smoke-runs one config; the full matrix is the reference-parity
+    default)."""
     nphi, polyorder = 32, 4
     numtaps, beta = mr.kaiserlength(0.1, samplerate=nphi)
     numtaps = min(-(-numtaps // nphi) * nphi, 320)
@@ -26,8 +30,9 @@ def main(n_samples: int = 1_000_000):
     import jax
     import jax.numpy as jnp
 
-    for rate in (1.0, 1 / 2.123456789):
-        for dt in (np.float32, np.float64, np.complex64, np.complex128):
+    for rate in rates or (1.0, 1 / 2.123456789):
+        for dt in dtypes or (np.float32, np.float64, np.complex64,
+                             np.complex128):
             x = np.random.default_rng(0).standard_normal(n_samples)
             if np.issubdtype(dt, np.complexfloating):
                 x = x + 1j * np.random.default_rng(1).standard_normal(n_samples)

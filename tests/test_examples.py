@@ -32,7 +32,13 @@ def test_example_runs(name, capsys):
 
 
 def test_example_arb_farrow_speed(capsys):
-    _load("arb_farrow_speed").main(n_samples=20_000)
+    # one config of the 16-config reference matrix (full sweep is ~160 s on
+    # CPU; the other dtype/rate combinations are covered by the kernel test
+    # suite — this smoke test only pins the example's API usage)
+    import numpy as np
+    _load("arb_farrow_speed").main(
+        n_samples=20_000, rates=(1 / 2.123456789,), dtypes=(np.float32,),
+        repeat=3, iters=2)
     assert "samples" in capsys.readouterr().out.lower() or True
 
 
