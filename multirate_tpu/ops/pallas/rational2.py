@@ -682,6 +682,41 @@ def _kernel_zc_tail(dsel_ref, xt_ref, *rest, JT: int, gM: int,
              out_dtype=rest[-1].dtype)
 
 
+def _kernel_zc_fused(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, xt_ref,
+                     *rest, JT: int, gM: int, groups: tuple,
+                     three_pass: bool):
+    """Single-grid v4 kernel covering the boundary tile too: the LAST grid
+    step takes its rows from the small pre-assembled ``xt`` block (which
+    holds the sub-row remainder of x plus zero tail padding) via per-chunk
+    selects; every other step reads the raw stream rows. The clamped
+    xa/prev/next reads of the last step are dead (selected away) — and
+    even where a non-final supercycle's matmul span covers lanes past its
+    own band, the banded K stack is ZERO there, so finite garbage never
+    pollutes valid outputs. This replaces the separate aliased tail
+    pallas_call (a second dispatch serialized behind the whole main grid:
+    measured ~9-16% of call time, worst at small blocks)."""
+    pid = pl.program_id(0)
+    S = hist_ref.shape[0]
+    tail = pid == jnp.int32(pl.num_programs(0) - 1)
+
+    def f_first(l0):
+        base = jnp.where(pid == jnp.int32(0), hist_ref[:, l0:l0 + 128],
+                         prev_ref[:, l0:l0 + 128])
+        return jnp.where(tail, xt_ref[0:S, l0:l0 + 128], base)
+
+    def f_xa(lm):
+        return jnp.where(tail, xt_ref[S:S + JT, lm:lm + 128],
+                         xa_ref[:, lm:lm + 128])
+
+    def f_next(l0):
+        return jnp.where(tail, xt_ref[S + JT:, l0:l0 + 128],
+                         next_ref[:, l0:l0 + 128])
+
+    _zc_body_v4(f_first, f_xa, f_next, rest, S=S, JT=JT, gM=gM,
+                groups=groups, three_pass=three_pass, in_dt=xa_ref.dtype,
+                out_dtype=rest[-1].dtype)
+
+
 def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                            n_out: int, groups: tuple, geo,
                            three_pass: bool = True,
@@ -711,9 +746,55 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                for _ in k_args]
     assert JT % S == 0
     rps = JT // S
+    dsel1 = dsel.reshape(1).astype(jnp.int32)
+
+    if num_tiles > T_ok and _v4_ok(M, groups):
+        # fused single-grid form: the boundary tile rides the main grid
+        # (see _kernel_zc_fused). Clamped index maps keep the last step's
+        # (dead) stream reads in bounds.
+        J0 = T_ok * JT
+        o0 = (J0 - S) * M
+        need = (JT + 2 * S) * M
+        xt = x[o0: min(o0 + need, xlen)]
+        xt2d = jnp.pad(xt, (0, need - xt.shape[0])).reshape(JT + 2 * S, M)
+        rb_max = R // S - 1
+        ja_max = (R - JT) // JT
+        kern_f = functools.partial(_kernel_zc_fused, JT=JT, gM=M,
+                                   groups=groups, three_pass=three_pass)
+        out = pl.pallas_call(
+            kern_f,
+            out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), odt),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(num_tiles,),
+                in_specs=[
+                    pl.BlockSpec((S, M), lambda j, d_ref: (j * 0, j * 0)),
+                    pl.BlockSpec(
+                        (S, M),
+                        lambda j, d_ref: (
+                            jnp.minimum(jnp.maximum(j * rps - 1, 0), rb_max),
+                            j * 0)),
+                    pl.BlockSpec((JT, M),
+                                 lambda j, d_ref: (jnp.minimum(j, ja_max),
+                                                   j * 0)),
+                    pl.BlockSpec(
+                        (S, M),
+                        lambda j, d_ref: (jnp.minimum((j + 1) * rps, rb_max),
+                                          j * 0)),
+                    pl.BlockSpec((JT + 2 * S, M),
+                                 lambda j, d_ref: (j * 0, j * 0)),
+                    *k_specs,
+                ],
+                out_specs=pl.BlockSpec((JT, L), lambda j, d_ref: (j, j * 0)),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(dsel1, h2d, x2d, x2d, x2d, xt2d, *k_args)
+        return out.reshape(num_tiles * JT * L)[:n_out]
+
     kern = functools.partial(_kernel_zc_main, JT=JT, gM=M, groups=groups,
                              three_pass=three_pass)
-    dsel1 = dsel.reshape(1).astype(jnp.int32)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), odt),
