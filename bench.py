@@ -1,4 +1,8 @@
-"""Benchmark harness: headline 147//160 rational resample, 1M float32.
+"""Benchmark harness: headline 147//160 rational resample, 8M float32.
+
+(8M, not 1M: at 1M the 4 MB chained loop carry stays VMEM-resident across
+iterations, so the measurement mixes VMEM and HBM bandwidth and swings 2x
+with relay pace drift — exp/exp13_zc_hbm.py. 32 MB forces HBM residency.)
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -116,7 +120,7 @@ def main():
     on_tpu = dev.platform == "tpu"
     log(f"device: {dev.device_kind} ({dev.platform})")
 
-    N = 1_000_000
+    N = 8_000_000
     ratio = Fraction(147, 160)
     h = (mr.firdes(24 * 147, 0.5 / 147, mr.kaiser, beta=7.8562) * 147
          ).astype(np.float32)
@@ -138,13 +142,15 @@ def main():
             json.dump(sidecar, fh, indent=1)
 
     def bench_config(name, p, spec, hh, xx, paths, iters=4,
-                     state_dtype=jnp.float32, dequant=None, x_check=None):
+                     state_dtype=jnp.float32, dequant=None, x_check=None,
+                     itemsize_out=None):
         """One sidecar row. For quantized modes pass the quantized ``xx``
         and its ``state_dtype``, plus ``x_check`` (the quantized version of
         x_np[:200k] so the oracle diff measures quantization error);
         ``dequant(y_dev)`` maps raw kernel output (e.g. int32 accumulators)
         back to float for the oracle check. Roofline uses the actual input
-        itemsize (bf16 doubles it, int8 4x)."""
+        itemsize (bf16 halves traffic); ``itemsize_out`` overrides the
+        output byte width when it differs (int8 mode writes int32)."""
         st = mr.init_state(p, xx.shape[:-1], state_dtype)
         best, best_path = 0.0, None
         for path in paths:
@@ -174,7 +180,8 @@ def main():
         if dequant is not None:
             y_check = dequant(y_check)
         rms = accuracy_rms(mr, p, hh, spec, x_np, y_check)
-        roof = roofline_msps(rate, jnp.dtype(xx.dtype).itemsize)
+        roof = roofline_msps(rate, jnp.dtype(xx.dtype).itemsize,
+                             itemsize_out)
         entry = {
             "name": name, "path": best_path,
             "msps_in": round(best, 1),
@@ -212,7 +219,7 @@ def main():
     # very last stdout line below because the driver's bounded tail capture
     # dropped it in round 2 (BENCH_r02.json parsed=null)
     headline_json = json.dumps({
-        "metric": "rational_147_160_1M_f32_throughput",
+        "metric": "rational_147_160_8M_f32_throughput",
         "value": round(msps, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / BASELINE_MSPS, 1),
@@ -272,7 +279,8 @@ def main():
                      ("supercycle", "pallas") if on_tpu
                      else ("supercycle",), state_dtype=jnp.int8,
                      dequant=lambda y: y.astype(np.float64) * (s_x * s_h),
-                     x_check=quant.quantize_signal(x_np[:200_000], s_x)[0])
+                     x_check=quant.quantize_signal(x_np[:200_000], s_x)[0],
+                     itemsize_out=4)
 
         # scaling overhead structure on the virtual CPU mesh (subprocess:
         # the axon plugin owns this process's backend)

@@ -57,7 +57,7 @@ def main():
     log("device:", jax.devices()[0].device_kind)
 
     # ---- pallas copy probe: 16M f32 = 64 MB in + 64 MB out ---------- #
-    NP_ROWS, NP_COLS, PJT = 31250, 512, 250
+    NP_ROWS, NP_COLS, PJT = 32768, 512, 256
     rng = np.random.default_rng(0)
     xp = jnp.asarray(rng.standard_normal((NP_ROWS, NP_COLS))
                      .astype(np.float32))
@@ -70,8 +70,8 @@ def main():
             copy_kernel,
             out_shape=jax.ShapeDtypeStruct((NP_ROWS, NP_COLS), jnp.float32),
             grid=(NP_ROWS // PJT,),
-            in_specs=[pl.BlockSpec((PJT, NP_COLS), lambda j: (j, 0))],
-            out_specs=pl.BlockSpec((PJT, NP_COLS), lambda j: (j, 0)),
+            in_specs=[pl.BlockSpec((PJT, NP_COLS), lambda j: (j, j * 0))],
+            out_specs=pl.BlockSpec((PJT, NP_COLS), lambda j: (j, j * 0)),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
         )(xx)
