@@ -137,9 +137,12 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
 
 
 def _pack(meta: GridselMeta, nphi: int, delta_fx: int, u0, d0,
-          tiles8: int, farrow: bool):
-    """(pk int32, rowc f32, a0 f32), each (tiles8, L2p). Exact int64."""
+          tiles8: int, farrow: bool, jt: int | None = None):
+    """(pk int32, rowc f32, a0 f32), each (tiles8, L2p). Exact int64.
+    ``jt`` overrides the plan's tile rows (batched kernels use smaller
+    tiles for VMEM; any jt <= meta.JT keeps the one-crossing bound)."""
     L2, M2, eps, JT, sp2, L2p, _, _ = meta
+    JT = jt or JT
     D = nphi << PHASE_FRAC_BITS
     i64 = jnp.int64
     jj0 = (jnp.arange(tiles8, dtype=i64) * JT)[:, None]
@@ -178,10 +181,11 @@ def _pack(meta: GridselMeta, nphi: int, delta_fx: int, u0, d0,
     return pk, rowc, a0
 
 
-def _tile_x(xext, meta: GridselMeta, num_tiles: int):
+def _tile_x(xext, meta: GridselMeta, num_tiles: int,
+            jt: int | None = None):
     """Left/right-padded (..., R, M2) view of xext for the kernel."""
     L2, M2 = meta.L2, meta.M2
-    R = num_tiles * meta.JT + 8
+    R = num_tiles * (jt or meta.JT) + 8
     lead = xext.shape[:-1]
     pad_r = R * M2 - PAD_L - xext.shape[-1]
     zl = jnp.zeros((*lead, PAD_L), xext.dtype)
@@ -190,23 +194,62 @@ def _tile_x(xext, meta: GridselMeta, num_tiles: int):
     return xq.reshape(*lead, R, M2)
 
 
-def _geometry(meta: GridselMeta, n_max: int):
+def _geometry(meta: GridselMeta, n_max: int, jt: int | None = None):
+    jt = jt or meta.JT
     J_total = -(-n_max // meta.L2)
-    num_tiles = -(-J_total // meta.JT)
+    num_tiles = -(-J_total // jt)
     tiles8 = -(-num_tiles // 8) * 8
     return num_tiles, tiles8
 
 
+def _batch_dims(meta: GridselMeta, C: int, n_k: int):
+    """(CB, jt_b) for the batched-channel kernel, or None.
+
+    jt_b + 8 must be a power of two (the kernel's row->channel AND-mask
+    decomposition) and jt_b <= meta.JT (one-crossing bound). CB is sized
+    so the kernel's VMEM majors — the collapsed (CB*(jt_b+8), M2) operand
+    with its bf16 hi/lo splits and roll (~16 B/row/lane), ~5 (CBT, L2p)
+    f32 accumulators, the double-buffered x/out blocks, and the n_k
+    (sp2, L2p) tap matrices — stay under ~10 MiB."""
+    L2, M2, _, JT, sp2, L2p, _, _ = meta
+    per_row = 16 * M2 + 20 * L2p + 8 * (M2 + L2)
+    fixed = 4 * n_k * sp2 * L2p
+    cbt = max(0, (10 * (1 << 20) - fixed)) // per_row
+    best = None
+    for jtp in (256, 128, 64, 32, 16):
+        jt_b = jtp - 8
+        if jt_b > JT:
+            continue
+        cb = min(64, C, (cbt // jtp // 8) * 8)
+        if cb < 8:
+            continue
+        # score: outputs amortizing one K build, minus spill-row waste
+        score = cb * jt_b
+        if best is None or score > best[0]:
+            best = (score, cb, jt_b)
+    return None if best is None else (best[1], best[2])
+
+
 def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
                       delta_fx: int, xext, u0, d0, n_max: int, dt):
-    """Arbitrary resample of one block through the gridsel kernel."""
-    from .pallas.gridsel import gridsel_resample_arb
+    """Arbitrary resample of one block through the gridsel kernel.
+
+    Batched (channel-lead) inputs with >= 16 channels run the
+    batched-channel kernel (one shared K build per tile; channels stacked
+    on the matmul row axis) instead of vmapping the single-channel kernel,
+    which replicates the placement work per channel."""
+    from .pallas.gridsel import (gridsel_resample_arb,
+                                 gridsel_resample_arb_batch)
 
     L2, M2, eps, JT, sp2, L2p, _, _ = meta
-    num_tiles, tiles8 = _geometry(meta, n_max)
+    lead = xext.shape[:-1]
+    C = int(np.prod(lead)) if lead else 0
+    dims = _batch_dims(meta, C, n_k=4) if C >= 16 else None
+    jt = dims[1] if dims is not None else None
+    num_tiles, tiles8 = _geometry(meta, n_max, jt)
     pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
-                         farrow=False)
-    x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles)
+                         farrow=False, jt=jt)
+    x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
     T = pfb.shape[0]
     T8 = -(-T // 8) * 8
     bp = jnp.zeros((T8, nphi), jnp.float32).at[:T].set(
@@ -214,33 +257,51 @@ def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
     bd = jnp.zeros((T8, nphi), jnp.float32).at[:T].set(
         dpfb.astype(jnp.float32))
     interp = jax.default_backend() != "tpu"
-    kw = dict(JT=JT, M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
+    kw = dict(M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
               dir_=(0 if eps == 0 else (1 if eps > 0 else -1)),
               deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
               interpret=interp)
 
+    if dims is not None:
+        cb, jt_b = dims
+        x3 = x2d.reshape(C, *x2d.shape[-2:])
+        cpad = -(-C // cb) * cb - C
+        if cpad:
+            x3 = jnp.concatenate(
+                [x3, jnp.zeros((cpad, *x3.shape[1:]), x3.dtype)], axis=0)
+        y = gridsel_resample_arb_batch(x3, pk, rowc, a0, bp, bd, CB=cb,
+                                       JT=jt_b, **kw)
+        out = y[:C].reshape(C, num_tiles * jt_b * L2)[:, :n_max]
+        return out.reshape(*lead, n_max).astype(dt)
+
     def run(xv):
-        y = gridsel_resample_arb(xv, pk, rowc, a0, bp, bd, **kw)
+        y = gridsel_resample_arb(xv, pk, rowc, a0, bp, bd, JT=JT, **kw)
         return y.reshape(num_tiles * JT * L2)[:n_max]
 
     if x2d.ndim == 2:
         return run(x2d).astype(dt)
-    lead = x2d.shape[:-2]
     out = jax.vmap(run)(x2d.reshape(-1, *x2d.shape[-2:]))
     return out.reshape(*lead, n_max).astype(dt)
 
 
 def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
                          delta_fx: int, xext, u0, d0, n_max: int, dt):
-    """Farrow resample of one block through the gridsel kernel."""
-    from .pallas.gridsel import gridsel_resample_farrow
+    """Farrow resample of one block through the gridsel kernel. Batched
+    (channel-lead) inputs with >= 16 channels run the batched-channel
+    kernel (see arb_gridsel_apply)."""
+    from .pallas.gridsel import (gridsel_resample_farrow,
+                                 gridsel_resample_farrow_batch)
 
     L2, M2, eps, JT, sp2, L2p, _, _ = meta
-    num_tiles, tiles8 = _geometry(meta, n_max)
-    pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
-                         farrow=True)
-    x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles)
     P1, T = coeffs.shape
+    lead = xext.shape[:-1]
+    C = int(np.prod(lead)) if lead else 0
+    dims = _batch_dims(meta, C, n_k=2 * P1) if C >= 16 else None
+    jt = dims[1] if dims is not None else None
+    num_tiles, tiles8 = _geometry(meta, n_max, jt)
+    pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
+                         farrow=True, jt=jt)
+    x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
     # lane-pre-broadcast layout: row p*T + t = coeffs[p, t] across all L2p
     # lanes (the kernel's placement stages need (1, L2p) rows — Mosaic has
     # no both-axes vector broadcast)
@@ -250,17 +311,28 @@ def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
                          (P1 * T, L2p)))
     interp = jax.default_backend() != "tpu"
     # Farrow's only crossing is the window step: psi jumps by -dir*nphi
-    kw = dict(JT=JT, M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
+    kw = dict(M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
               P1=P1, dir_=(0 if eps == 0 else (1 if eps > 0 else -1)),
               deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
               interpret=interp)
 
+    if dims is not None:
+        cb, jt_b = dims
+        x3 = x2d.reshape(C, *x2d.shape[-2:])
+        cpad = -(-C // cb) * cb - C
+        if cpad:
+            x3 = jnp.concatenate(
+                [x3, jnp.zeros((cpad, *x3.shape[1:]), x3.dtype)], axis=0)
+        y = gridsel_resample_farrow_batch(x3, pk, rowc, a0, cf, CB=cb,
+                                          JT=jt_b, **kw)
+        out = y[:C].reshape(C, num_tiles * jt_b * L2)[:, :n_max]
+        return out.reshape(*lead, n_max).astype(dt)
+
     def run(xv):
-        y = gridsel_resample_farrow(xv, pk, rowc, a0, cf, **kw)
+        y = gridsel_resample_farrow(xv, pk, rowc, a0, cf, JT=JT, **kw)
         return y.reshape(num_tiles * JT * L2)[:n_max]
 
     if x2d.ndim == 2:
         return run(x2d).astype(dt)
-    lead = x2d.shape[:-2]
     out = jax.vmap(run)(x2d.reshape(-1, *x2d.shape[-2:]))
     return out.reshape(*lead, n_max).astype(dt)

@@ -41,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import precision as prec
 
-__all__ = ["gridsel_resample_arb", "gridsel_resample_farrow"]
+__all__ = ["gridsel_resample_arb", "gridsel_resample_farrow",
+           "gridsel_resample_arb_batch", "gridsel_resample_farrow_batch"]
 
 _HI = jax.lax.Precision.HIGHEST
 _QBITS = 10          # window offset q within the 2-row span (< 1024)
@@ -62,15 +63,15 @@ def _make_mm(xcat, JT: int, M2: int, sp2: int, three_pass: bool):
             return acc + jnp.dot(v1[:JT, :s2], K[M2:sp2], precision=_HI,
                                  preferred_element_type=f32)
         return mm
-    x0h, x0l = prec.split_bf16(xcat[:JT, :])
-    x1h, x1l = prec.split_bf16(v1[:JT, :s2])
+    x0h, x0l = prec.split_bf16_trunc(xcat[:JT, :])
+    x1h, x1l = prec.split_bf16_trunc(v1[:JT, :s2])
 
     def mm(K):
-        kh, kl = prec.split_bf16(K[:M2])
+        kh, kl = prec.split_bf16_trunc(K[:M2])
         acc = (jnp.dot(x0h, kh, preferred_element_type=f32)
                + jnp.dot(x0h, kl, preferred_element_type=f32)
                + jnp.dot(x0l, kh, preferred_element_type=f32))
-        kh2, kl2 = prec.split_bf16(K[M2:sp2])
+        kh2, kl2 = prec.split_bf16_trunc(K[M2:sp2])
         return (acc + jnp.dot(x1h, kh2, preferred_element_type=f32)
                 + jnp.dot(x1h, kl2, preferred_element_type=f32)
                 + jnp.dot(x1l, kh2, preferred_element_type=f32))
@@ -91,14 +92,10 @@ def _variant_b(qA, phA, nphi: int, dir_: int):
     return qB, phB
 
 
-def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
-                JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
-                L2p: int, dir_: int, deps: float, three_pass: bool):
+def _build_k_arb(pk, bp, bd, *, T: int, nphi: int, sp2: int, L2p: int,
+                 dir_: int):
+    """(kAp, kAd, kBp, kBd) banded tap matrices for one tile's columns."""
     f32 = jnp.float32
-    sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
-    pk = pk_ref[sub, :]                                   # (L2p,) int32
-    rowc = rowc_ref[sub, :]                               # (L2p,) f32
-    a0 = a0_ref[sub, :]                                   # (L2p,) f32
     qA = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
     phA = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
     qB, phB = _variant_b(qA, phA, nphi, dir_)
@@ -108,7 +105,6 @@ def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
     iop = jax.lax.broadcasted_iota(jnp.int32, (nphi, L2p), 0)
     ohA = (iop == phA[None, :]).astype(f32)
     ohB = (iop == phB[None, :]).astype(f32)
-    bp, bd = bp_ref[...], bd_ref[...]
     tpA = jnp.dot(bp, ohA, precision=_HI, preferred_element_type=f32)
     tdA = jnp.dot(bd, ohA, precision=_HI, preferred_element_type=f32)
     tpB = jnp.dot(bp, ohB, precision=_HI, preferred_element_type=f32)
@@ -128,6 +124,48 @@ def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
         kAd = kAd + jnp.where(mA, tdA[t:t + 1, :], z)
         kBp = kBp + jnp.where(mB, tpB[t:t + 1, :], z)
         kBd = kBd + jnp.where(mB, tdB[t:t + 1, :], z)
+    return kAp, kAd, kBp, kBd
+
+
+def _build_k_farrow(pk, cf, *, T: int, P1: int, sp2: int, L2p: int,
+                    dir_: int):
+    """(ksA + ksB) 2*P1 banded polynomial-slice tap matrices."""
+    f32 = jnp.float32
+    qA = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
+    iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
+    z = jnp.float32(0.0)
+    # cf rows are LANE-PRE-BROADCAST on the host: row p*T + t holds
+    # coeffs[p, t] across all L2p lanes, so each placement stage is a
+    # sublane-only (1, L2p) broadcast — Mosaic cannot lower a (1, 1)
+    # vector broadcast in both sublanes and lanes.
+    ksA = [jnp.zeros((sp2, L2p), f32) for _ in range(P1)]
+    for t in range(T):
+        mA = iou == (qA + jnp.int32(t))[None, :]
+        for p in range(P1):
+            c = cf[p * T + t: p * T + t + 1, :]           # (1, L2p) tap row
+            ksA[p] = ksA[p] + jnp.where(mA, c, z)
+    # Variant B is q stepped by dir_ with the SAME polynomial taps (Farrow
+    # coeffs span all banks), so K_B is K_A rolled dir_ sublane rows. The
+    # wrapped row is zero under the plan's own placement bound (q_B + T <=
+    # sp2 and q_B >= 0, which the compare-placement build needs anyway).
+    if dir_ == 0:
+        ksB = ksA
+    else:
+        ksB = [pltpu.roll(k, jnp.int32(dir_ % sp2), axis=0) for k in ksA]
+    return ksA + ksB
+
+
+def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
+                JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
+                L2p: int, dir_: int, deps: float, three_pass: bool):
+    f32 = jnp.float32
+    sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
+    pk = pk_ref[sub, :]                                   # (L2p,) int32
+    rowc = rowc_ref[sub, :]                               # (L2p,) f32
+    a0 = a0_ref[sub, :]                                   # (L2p,) f32
+    kAp, kAd, kBp, kBd = _build_k_arb(
+        pk, bp_ref[...], bd_ref[...], T=T, nphi=nphi, sp2=sp2, L2p=L2p,
+        dir_=dir_)
 
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)        # (JT+8, M2)
     mm = _make_mm(xcat, JT, M2, sp2, three_pass)
@@ -156,30 +194,8 @@ def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
     pk = pk_ref[sub, :]
     rowc = rowc_ref[sub, :]
     a0 = a0_ref[sub, :]                                   # psi0 (1-based)
-    qA = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
-
-    iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
-    z = jnp.float32(0.0)
-    # cf rows are LANE-PRE-BROADCAST on the host: row p*T + t holds
-    # coeffs[p, t] across all L2p lanes, so each placement stage is a
-    # sublane-only (1, L2p) broadcast — Mosaic cannot lower a (1, 1)
-    # vector broadcast in both sublanes and lanes.
-    cf = cf_ref[...]                                      # (P1*Tpad8, L2p)
-    ksA = [jnp.zeros((sp2, L2p), f32) for _ in range(P1)]
-    for t in range(T):
-        mA = iou == (qA + jnp.int32(t))[None, :]
-        for p in range(P1):
-            c = cf[p * T + t: p * T + t + 1, :]           # (1, L2p) tap row
-            ksA[p] = ksA[p] + jnp.where(mA, c, z)
-    # Variant B is q stepped by dir_ with the SAME polynomial taps (Farrow
-    # coeffs span all banks), so K_B is K_A rolled dir_ sublane rows. The
-    # wrapped row is zero under the plan's own placement bound (q_B + T <=
-    # sp2 and q_B >= 0, which the compare-placement build needs anyway).
-    if dir_ == 0:
-        ksB = ksA
-    else:
-        ksB = [pltpu.roll(k, jnp.int32(dir_ % sp2), axis=0) for k in ksA]
-    ks = ksA + ksB
+    ks = _build_k_farrow(pk, cf_ref[...], T=T, P1=P1, sp2=sp2, L2p=L2p,
+                         dir_=dir_)
 
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)
     mm = _make_mm(xcat, JT, M2, sp2, three_pass)
@@ -249,3 +265,135 @@ def gridsel_resample_farrow(x2d, pk, rowc, a0, cf, *, JT, M2, sp2, T,
                              deps=deps, three_pass=three_pass)
     return _launch(kern, (pk, rowc, a0), x2d, (cf,),
                    (JT, M2, sp2, L2, L2p), num_tiles, interpret)
+
+
+# --------------------------------------------------------------------------- #
+# Batched-channel variants: C channels SHARE one FilterState (scalar
+# phase/deficit), so the per-tile K build — the one-hot tap matmuls and the
+# T compare-placement stages, which dominate the single-channel kernel and
+# are replicated per channel under vmap — is done ONCE and amortized: only
+# the x-window matmuls scale with C. Channels are stacked on the matmul's
+# ROW axis: the (CB, JT, M2) + (CB, 8, M2) blocks collapse (leading-dim
+# reshape, a pure relabeling for 8-multiple rows) to one (CB*(JT+8), M2)
+# operand, so each MXU pass runs at CB*(JT+8) rows instead of C separate
+# (JT, M2) calls. JT+8 must be a power of two: the output row's channel
+# decomposition r = c*(JT+8) + rowj is then one AND mask; each channel's 8
+# spill rows (the cross-row segment of the NEXT channel leaks into them via
+# the single global sublane roll) are simply never written out.
+# --------------------------------------------------------------------------- #
+
+
+def _kernel_arb_batch(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref,
+                      o_ref, *, CB: int, JT: int, M2: int, sp2: int, T: int,
+                      nphi: int, L2: int, L2p: int, dir_: int, deps: float):
+    f32 = jnp.float32
+    sub = jax.lax.rem(pl.program_id(1), jnp.int32(8))
+    pk = pk_ref[sub, :]
+    rowc = rowc_ref[sub, :]
+    a0 = a0_ref[sub, :]
+    kAp, kAd, kBp, kBd = _build_k_arb(
+        pk, bp_ref[...], bd_ref[...], T=T, nphi=nphi, sp2=sp2, L2p=L2p,
+        dir_=dir_)
+    JTP = JT + 8
+    CBT = CB * JTP
+    X0 = jnp.concatenate([xa[...], xb[...]], axis=1).reshape(CBT, M2)
+    mm = _make_mm(X0, CBT, M2, sp2, True)
+    GpA, GdA = mm(kAp), mm(kAd)
+    GpB, GdB = mm(kBp), mm(kBd)
+    rowj = jax.lax.bitwise_and(
+        jax.lax.broadcasted_iota(jnp.int32, (CBT, L2p), 0),
+        jnp.int32(JTP - 1)).astype(f32)
+    alin = a0[None, :] + rowj * jnp.float32(deps)
+    mask = rowj >= rowc[None, :]
+    y = jnp.where(mask, GpB + (alin - jnp.float32(dir_)) * GdB,
+                  GpA + alin * GdA)
+    for c in range(CB):
+        o_ref[c, :, :] = y[c * JTP:c * JTP + JT, :L2].astype(o_ref.dtype)
+
+
+def _kernel_farrow_batch(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
+                         CB: int, JT: int, M2: int, sp2: int, T: int,
+                         nphi: int, L2: int, L2p: int, P1: int, dir_: int,
+                         deps: float):
+    f32 = jnp.float32
+    sub = jax.lax.rem(pl.program_id(1), jnp.int32(8))
+    pk = pk_ref[sub, :]
+    rowc = rowc_ref[sub, :]
+    a0 = a0_ref[sub, :]
+    ks = _build_k_farrow(pk, cf_ref[...], T=T, P1=P1, sp2=sp2, L2p=L2p,
+                         dir_=dir_)
+    JTP = JT + 8
+    CBT = CB * JTP
+    X0 = jnp.concatenate([xa[...], xb[...]], axis=1).reshape(CBT, M2)
+    mm = _make_mm(X0, CBT, M2, sp2, True)
+    rowj = jax.lax.bitwise_and(
+        jax.lax.broadcasted_iota(jnp.int32, (CBT, L2p), 0),
+        jnp.int32(JTP - 1)).astype(f32)
+    plin = a0[None, :] + rowj * jnp.float32(deps)
+    psiB = plin - jnp.float32(dir_ * nphi)
+    accA = mm(ks[P1 - 1])
+    accB = mm(ks[2 * P1 - 1])
+    for p in range(P1 - 2, -1, -1):
+        accA = accA * plin + mm(ks[p])
+        accB = accB * psiB + mm(ks[P1 + p])
+    mask = rowj >= rowc[None, :]
+    y = jnp.where(mask, accB, accA)
+    for c in range(CB):
+        o_ref[c, :, :] = y[c * JTP:c * JTP + JT, :L2].astype(o_ref.dtype)
+
+
+def _launch_batch(kern, packs, x3d, banks, meta_t, num_tiles, CB, interpret):
+    JT, M2, sp2, L2, L2p = meta_t
+    pk, rowc, a0 = packs
+    C = x3d.shape[0]
+    rps = JT // 8
+    p8 = lambda cb, j: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
+    bank_specs = [pl.BlockSpec(b.shape, lambda cb, j: (j * 0, j * 0))
+                  for b in banks]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((C, num_tiles * JT, L2),
+                                       jnp.float32),
+        grid=(C // CB, num_tiles),
+        in_specs=[
+            pl.BlockSpec((8, L2p), p8),
+            pl.BlockSpec((8, L2p), p8),
+            pl.BlockSpec((8, L2p), p8),
+            pl.BlockSpec((CB, JT, M2), lambda cb, j: (cb, j, j * 0)),
+            pl.BlockSpec((CB, 8, M2),
+                         lambda cb, j: (cb, (j + 1) * rps, j * 0)),
+            *bank_specs,
+        ],
+        out_specs=pl.BlockSpec((CB, JT, L2),
+                               lambda cb, j: (cb, j, j * 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(pk, rowc, a0, x3d, x3d, *banks)
+
+
+def gridsel_resample_arb_batch(x3d, pk, rowc, a0, bp, bd, *, CB, JT, M2,
+                               sp2, T, nphi, L2, L2p, dir_, deps,
+                               num_tiles, interpret=False):
+    """Batched arbitrary resample over pre-tiled ``x3d`` (C, R, M2); all
+    channels share the packed per-tile index state. C % CB == 0 and
+    (JT + 8) a power of two (callers pad/choose). Returns
+    (C, num_tiles*JT, L2) float32."""
+    assert x3d.shape[0] % CB == 0 and ((JT + 8) & (JT + 7)) == 0
+    kern = functools.partial(_kernel_arb_batch, CB=CB, JT=JT, M2=M2,
+                             sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
+                             dir_=dir_, deps=deps)
+    return _launch_batch(kern, (pk, rowc, a0), x3d, (bp, bd),
+                         (JT, M2, sp2, L2, L2p), num_tiles, CB, interpret)
+
+
+def gridsel_resample_farrow_batch(x3d, pk, rowc, a0, cf, *, CB, JT, M2,
+                                  sp2, T, nphi, L2, L2p, P1, dir_, deps,
+                                  num_tiles, interpret=False):
+    """Batched Farrow resample over pre-tiled ``x3d`` (C, R, M2)."""
+    assert x3d.shape[0] % CB == 0 and ((JT + 8) & (JT + 7)) == 0
+    kern = functools.partial(_kernel_farrow_batch, CB=CB, JT=JT, M2=M2,
+                             sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
+                             P1=P1, dir_=dir_, deps=deps)
+    return _launch_batch(kern, (pk, rowc, a0), x3d, (cf,),
+                         (JT, M2, sp2, L2, L2p), num_tiles, CB, interpret)

@@ -149,7 +149,7 @@ def _kernel(x_a, x_b, *rest, JT: int, gM: int, groups: tuple,
     def mm(xs, r0, r1_, c0, c1):
         """xs @ K[r0:r1_, c0:c1] at the configured precision."""
         if three_pass:
-            xh16, xl16 = prec.split_bf16(xs)
+            xh16, xl16 = prec.split_bf16_trunc(xs)
             kh = kh_ref[r0:r1_, c0:c1]
             kl = kl_ref[r0:r1_, c0:c1]
             acc = jnp.dot(xh16, kh, preferred_element_type=f32)
@@ -491,7 +491,7 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
     def mm(xs, r0, r1_, gi, w):
         cs = gi * 128
         if three_pass:
-            xh16, xl16 = prec.split_bf16(xs)
+            xh16, xl16 = prec.split_bf16_trunc(xs)
             kh = kh_ref[0, r0:r1_, cs:cs + w]
             kl = kl_ref[0, r0:r1_, cs:cs + w]
             acc = jnp.dot(xh16, kh, preferred_element_type=f32)
@@ -594,7 +594,7 @@ def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
                 xs = pltpu.roll(strip(lm), jnp.int32(total - u),
                                 axis=0)[:JT]
             if three_pass:
-                chunks[key] = prec.split_bf16(xs.astype(f32))
+                chunks[key] = prec.split_bf16_trunc(xs.astype(f32))
             else:
                 chunks[key] = xs.astype(mm_dt)
         return chunks[key]
@@ -687,34 +687,35 @@ def _kernel_zc_fused(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, xt_ref,
                      three_pass: bool):
     """Single-grid v4 kernel covering the boundary tile too: the LAST grid
     step takes its rows from the small pre-assembled ``xt`` block (which
-    holds the sub-row remainder of x plus zero tail padding) via per-chunk
-    selects; every other step reads the raw stream rows. The clamped
-    xa/prev/next reads of the last step are dead (selected away) — and
-    even where a non-final supercycle's matmul span covers lanes past its
-    own band, the banded K stack is ZERO there, so finite garbage never
-    pollutes valid outputs. This replaces the separate aliased tail
-    pallas_call (a second dispatch serialized behind the whole main grid:
-    measured ~9-16% of call time, worst at small blocks)."""
+    holds the sub-row remainder of x plus zero tail padding); every other
+    step reads the raw stream rows. The two cases are pl.when-PREDICATED
+    (two body instantiations, one executed per step): selecting per chunk
+    with jnp.where instead costs (JT, 128) selects on EVERY step —
+    measured ~10% of tile time at 8M (exp13 rawup-vs-notail gap). The
+    clamped xa/prev/next index maps keep the last step's (unread) stream
+    blocks in bounds. This replaces the separate aliased tail pallas_call
+    (a second dispatch serialized behind the whole main grid: measured
+    ~9-16% of call time at 1M-scale block counts)."""
     pid = pl.program_id(0)
     S = hist_ref.shape[0]
     tail = pid == jnp.int32(pl.num_programs(0) - 1)
+    kw = dict(S=S, JT=JT, gM=gM, groups=groups, three_pass=three_pass,
+              in_dt=xa_ref.dtype, out_dtype=rest[-1].dtype)
 
-    def f_first(l0):
-        base = jnp.where(pid == jnp.int32(0), hist_ref[:, l0:l0 + 128],
-                         prev_ref[:, l0:l0 + 128])
-        return jnp.where(tail, xt_ref[0:S, l0:l0 + 128], base)
+    @pl.when(jnp.logical_not(tail))
+    def _main():
+        def f_first(l0):
+            return jnp.where(pid == jnp.int32(0), hist_ref[:, l0:l0 + 128],
+                             prev_ref[:, l0:l0 + 128])
 
-    def f_xa(lm):
-        return jnp.where(tail, xt_ref[S:S + JT, lm:lm + 128],
-                         xa_ref[:, lm:lm + 128])
+        _zc_body_v4(f_first, lambda lm: xa_ref[:, lm:lm + 128],
+                    lambda l0: next_ref[:, l0:l0 + 128], rest, **kw)
 
-    def f_next(l0):
-        return jnp.where(tail, xt_ref[S + JT:, l0:l0 + 128],
-                         next_ref[:, l0:l0 + 128])
-
-    _zc_body_v4(f_first, f_xa, f_next, rest, S=S, JT=JT, gM=gM,
-                groups=groups, three_pass=three_pass, in_dt=xa_ref.dtype,
-                out_dtype=rest[-1].dtype)
+    @pl.when(tail)
+    def _tail():
+        _zc_body_v4(lambda l0: xt_ref[0:S, l0:l0 + 128],
+                    lambda lm: xt_ref[S:S + JT, lm:lm + 128],
+                    lambda l0: xt_ref[S + JT:, l0:l0 + 128], rest, **kw)
 
 
 def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,

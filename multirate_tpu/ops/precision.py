@@ -53,3 +53,24 @@ def split_bf16(v):
     hi_f32 = jax.lax.bitcast_convert_type(
         rounded & jnp.uint32(0xFFFF0000), f32)
     return hi_f32.astype(jnp.bfloat16), (v - hi_f32).astype(jnp.bfloat16)
+
+
+def split_bf16_trunc(v):
+    """Cheap (hi, lo) bf16 split: hi = v TRUNCATED to bf16 (mantissa mask,
+    no round-to-nearest), lo = v - hi.
+
+    Half the vreg-ops of ``split_bf16`` (mask + sub + two casts vs the
+    9-op rounding sequence) at one bit less accuracy: |lo| <= 2^-8 |v|
+    (vs 2^-9), so a 3-pass matmul's dropped xl*kl term sits at ~2^-17
+    relative (vs ~2^-18) — both far inside the 1e-4 budget. Use this for
+    the DATA-side splits inside Pallas kernel bodies, where the split
+    runs per tile over the whole block and its vreg-ops compete with the
+    HBM-bound budget (measured ~10% of the zc kernel's tile time);
+    host/XLA-level K splits keep the rounding version (free, amortized).
+    Same optimization-proofness: no demote/promote pair for XLA's
+    excess-precision folding to cancel."""
+    f32 = jnp.float32
+    bits = jax.lax.bitcast_convert_type(v.astype(f32), jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), f32)
+    return hi_f32.astype(jnp.bfloat16), (v - hi_f32).astype(jnp.bfloat16)

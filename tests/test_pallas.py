@@ -351,6 +351,47 @@ def test_gridsel_batched(rng):
     np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("C", [16, 24])
+def test_gridsel_batch_kernel(rng, C):
+    """Batched-channel gridsel (shared per-tile K build, channels stacked
+    on the matmul row axis) == windows oracle, arb + Farrow, including a
+    C that needs channel padding to the kernel's CB quantum."""
+    from multirate_tpu.ops.gridsel import _batch_dims
+
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    xb = rng.standard_normal((C, 5000)).astype(np.float32)
+    for extra in ((), (4,)):
+        p = mr.make_kernel(h, rate=0.9173, nphi=32,
+                           polyorder=(extra or (None,))[0])
+        assert p.gridsel_meta is not None
+        nk = 2 * (extra[0] + 1) if extra else 4
+        assert _batch_dims(p.gridsel_meta, C, n_k=nk) is not None
+        ref = np.asarray(mr.filt(h, xb, 0.9173, 32, *extra,
+                                 path="windows"))
+        y = np.asarray(mr.filt(h, xb, 0.9173, 32, *extra, path="gridsel"))
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_gridsel_batch_streaming_chunked(rng):
+    """Chunked streaming through the batched gridsel kernel (traced
+    u0/deficit) == whole, odd chunk size."""
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    xb = rng.standard_normal((16, 12000)).astype(np.float32)
+    for extra in ((), (4,)):
+        ref = np.asarray(mr.filt(h, xb, 1.3173, 32, *extra,
+                                 path="windows"))
+        f = mr.FIRFilter(h, 1.3173, nphi=32,
+                         polyorder=(extra or (None,))[0], path="gridsel")
+        got = np.concatenate([np.asarray(f.filt(xb[:, i:i + 5003]))
+                              for i in range(0, 12000, 5003)], axis=-1)
+        n = min(got.shape[-1], ref.shape[-1])
+        np.testing.assert_allclose(got[..., :n], ref[..., :n],
+                                   rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("C", [3, 12, 130])
 def test_chansel_any_channel_count(rng, C):
     """chansel generalization: channel padding to the 8-sublane quantum
