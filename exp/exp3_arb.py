@@ -33,12 +33,12 @@ def main():
         import multirate_tpu.ops.compute as comp
         yw = np.asarray(comp.filt_block_raw(params, state, x[:50_000],
                                             "windows")[0])
-        for path in ("winsel", "phaseall"):
+        for path in ("winsel",):
             yp = np.asarray(comp.filt_block_raw(params, state, x[:50_000],
                                                 path)[0])
             log(f"{name} {path} vs windows: maxerr={np.abs(yp-yw).max():.2e}"
                 f" rms={float(np.sqrt(np.mean((yp-yw)**2))):.2e}")
-        for path in ("winsel", "phaseall"):
+        for path in ("winsel",):
             sec = chained_seconds_per_call(params, state, x, path,
                                            repeat=20, iters=4)
             log(f"{name} [{path}]: {sec*1e3:.3f} ms -> {N/sec/1e6:.0f} Msps")

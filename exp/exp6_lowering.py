@@ -53,8 +53,6 @@ def main():
     sf = mr.init_state(pf, (), jnp.float32)
     try_lower("farrow winsel v3 1M", lambda s, xx: filt_block_raw(
         pf, s, xx, "winsel"), sf, x)
-    try_lower("arb phaseall 1M", lambda s, xx: filt_block_raw(
-        pa, s, xx, "phaseall"), sa, x)
 
     # the other bench configs
     h147 = np.asarray(mr.firdes(147, 0.2, mr.kaiser, beta=7.0), np.float32)

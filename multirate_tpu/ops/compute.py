@@ -33,7 +33,6 @@ Compute paths:
 - arbitrary/Farrow fast paths: ``winsel`` (fused window-select; batched
   channels dispatch to the chansel kernel), ``gridsel`` (rational-grid
   tile-adaptive), ``ratgrid`` (static banded matmul; Farrow), and the
-  ``phaseall``/``phaseall-xla`` interpolate-everything fallbacks.
 
 All paths consume the extended signal xext = [history, x_block] so filter
 ramp-up across block boundaries is uniform (the reference's split
@@ -584,94 +583,6 @@ def _rational(params: FIRRational, state, x, path):
     return y, count, new_state
 
 
-def _arb_phaseall(params: FIRArbitrary, xext, u0, d0, n_max, dt, path):
-    """Arbitrary resample as interpolate-everything + one sorted flat gather.
-
-    The fixed-point phase total u_n = u0 + n*delta directly encodes the
-    position of output n in the nphi-times interpolated stream:
-    q_n = (u_n >> FRAC) + (d0-1)*nphi (exact — D = nphi << FRAC). So compute
-    the full interpolated stream Q (and its derivative-bank twin dQ) with the
-    MXU supercycle machinery and finish with
-    y_n = Q[q_n] + alpha_n * dQ[q_n] — a monotone single-element gather,
-    instead of an (n, taps_per_phi) window gather.
-    """
-    from .params import PHASE_FRAC_BITS, PHASE_ONE
-
-    nphi = params.nphi
-    xlen_ext = xext.shape[-1]
-    n_in = xlen_ext - (params.taps_per_phi - 1)
-    n_up = n_in * nphi
-    g = params.sc_group
-    apply_ = _supercycle_xla if path == "phaseall-xla" else _supercycle_pallas
-    Q = apply_(xext.astype(dt), params.kq_super.astype(dt), g * nphi, g, n_up)
-    dQ = apply_(xext.astype(dt), params.kdq_super.astype(dt), g * nphi, g,
-                n_up)
-
-    u = u0 + jnp.arange(n_max, dtype=jnp.int64) * params.delta_fx
-    q = (u >> PHASE_FRAC_BITS) + (d0 - 1) * nphi
-    alpha = ((u & (PHASE_ONE - 1)).astype(jnp.float64)
-             * (2.0 ** -PHASE_FRAC_BITS))
-    q = jnp.clip(q, 0, n_up - 1)
-    if path == "phaseall":
-        from .pallas.select import monotone_select_pallas
-
-        max_step = (params.delta_fx >> PHASE_FRAC_BITS) + 1
-        interp = jax.default_backend() != "tpu"
-        sel = lambda qq, dqq: monotone_select_pallas(  # noqa: E731
-            qq, dqq, q, alpha.astype(dt), max_step, interpret=interp)
-        if Q.ndim == 1:
-            return sel(Q, dQ).astype(dt)
-        lead = Q.shape[:-1]
-        out = jax.vmap(sel)(Q.reshape(-1, n_up), dQ.reshape(-1, n_up))
-        return out.reshape(*lead, n_max).astype(dt)
-    yl = jnp.take(Q, q, axis=-1, mode="clip")
-    yu = jnp.take(dQ, q, axis=-1, mode="clip")
-    return (yl + alpha.astype(dt) * yu).astype(dt)
-
-
-def _farrow_phaseall(params: FIRFarrow, xext, u0, d0, n_max, dt, path):
-    """Farrow resample as per-power FIRs + flat gather + Vandermonde mix.
-
-    y_n = sum_t W[n,t] * (sum_p phase_n^p C[p,t])
-        = sum_p phase_n^p * F[(in_n - 1)*(P+1) + p]
-    where F is the interleaved stream of the P+1 "power FIRs" (taps C[p,:]),
-    computed with the regular MXU supercycle machinery — the irregular
-    window gather collapses to a monotone row gather.
-    """
-    from .params import PHASE_FRAC_BITS, PHASE_ONE
-
-    P1 = params.polyorder + 1
-    n_in = xext.shape[-1] - (params.taps_per_phi - 1)
-    g = params.sc_group
-    apply_ = _supercycle_xla if path == "phaseall-xla" else _supercycle_pallas
-    F = apply_(xext.astype(dt), params.kf_super.astype(dt), g * P1, g,
-               n_in * P1)
-
-    u = u0 + jnp.arange(n_max, dtype=jnp.int64) * params.delta_fx
-    D = params.nphi << PHASE_FRAC_BITS
-    inp0 = (d0 - 1) + u // D                       # 0-based input index
-    phase_val = 1.0 + (u % D).astype(jnp.float64) * (2.0 ** -PHASE_FRAC_BITS)
-    powers = phase_val[:, None] ** jnp.arange(P1, dtype=jnp.float64)[None, :]
-    qrows = jnp.clip(inp0, 0, n_in - 1) * P1
-    if path == "phaseall":
-        from .pallas.select import poly_select_pallas
-
-        max_step = ((params.delta_fx >> PHASE_FRAC_BITS) // params.nphi + 1) \
-            * P1
-        interp = jax.default_backend() != "tpu"
-        sel = lambda ff: poly_select_pallas(  # noqa: E731
-            ff, qrows, powers.astype(dt), max_step, interpret=interp)
-        if F.ndim == 1:
-            return sel(F).astype(dt)
-        lead = F.shape[:-1]
-        out = jax.vmap(sel)(F.reshape(-1, F.shape[-1]))
-        return out.reshape(*lead, -1).astype(dt)
-    q = qrows[:, None] + jnp.arange(P1, dtype=jnp.int64)[None, :]
-    Fg = jnp.take(F, q, axis=-1, mode="clip")      # (..., n_max, P1)
-    return jnp.einsum("...np,np->...n", Fg, powers.astype(dt),
-                      precision=prec.TAP).astype(dt)
-
-
 def _chansel_blocks(xs, run_v4, n_max):
     """Run the batched chansel kernel over arbitrary channel counts: pad
     the channel axis to the 8-sublane quantum and chunk at 128 channels
@@ -700,8 +611,9 @@ def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
     the tiny banks in VMEM and reads windows straight from x — no
     interpolated stream, no window matrix, nothing intermediate in HBM.
 
-    v2 kernel (pallas/select2.py: one-hot row select + native lane gather)
-    when taps_per_phi <= 64; the v1 lane-roll kernel otherwise."""
+    Batched channels go to the chansel kernel (select4), single channels
+    to the fused v3 kernel (select3); non-f32 dtypes fall back to the v1
+    lane-roll kernel (select.py)."""
     from .params import PHASE_FRAC_BITS
 
     D = params.nphi << PHASE_FRAC_BITS
@@ -742,20 +654,12 @@ def _arb_winsel(params: FIRArbitrary, xext, u0, d0, n_max, dt):
     inp, phi, frac = idx.accum_indices(
         params.nphi, params.delta_fx, u0, d0, n_max)
     starts = inp - 1
-    if params.taps_per_phi <= 64:
-        from .pallas.select2 import window_resample_pallas
+    from .pallas.select import window_select_pallas
 
-        run = lambda xv: window_resample_pallas(  # noqa: E731
-            xv.astype(dt), starts, phi, frac.astype(dt),
-            params.pfb.astype(dt), params.dpfb.astype(dt), max_step,
-            interpret=interp)
-    else:
-        from .pallas.select import window_select_pallas
-
-        run = lambda xv: window_select_pallas(  # noqa: E731
-            xv.astype(dt), starts, phi, frac.astype(dt),
-            params.pfb.astype(dt), params.dpfb.astype(dt), max_step,
-            interpret=interp)
+    run = lambda xv: window_select_pallas(  # noqa: E731
+        xv.astype(dt), starts, phi, frac.astype(dt),
+        params.pfb.astype(dt), params.dpfb.astype(dt), max_step,
+        interpret=interp)
     if xext.ndim == 1:
         return run(xext)
     lead = xext.shape[:-1]
@@ -805,18 +709,11 @@ def _farrow_winsel(params: FIRFarrow, xext, u0, d0, n_max, dt):
     phase_val = 1.0 + phi.astype(jnp.float64) + frac
     powers = phase_val[:, None] ** jnp.arange(params.polyorder + 1,
                                               dtype=jnp.float64)[None, :]
-    if params.taps_per_phi <= 128:
-        from .pallas.select2 import window_resample_farrow_pallas
+    from .pallas.select import window_select_farrow_pallas
 
-        run = lambda xv: window_resample_farrow_pallas(  # noqa: E731
-            xv.astype(dt), starts, powers.astype(dt),
-            params.coeffs.astype(dt), max_step, interpret=interp)
-    else:
-        from .pallas.select import window_select_farrow_pallas
-
-        run = lambda xv: window_select_farrow_pallas(  # noqa: E731
-            xv.astype(dt), starts, powers.astype(dt),
-            params.coeffs.astype(dt), max_step, interpret=interp)
+    run = lambda xv: window_select_farrow_pallas(  # noqa: E731
+        xv.astype(dt), starts, powers.astype(dt),
+        params.coeffs.astype(dt), max_step, interpret=interp)
     if xext.ndim == 1:
         return run(xext)
     lead = xext.shape[:-1]
@@ -845,9 +742,6 @@ def _arbitrary(params: FIRArbitrary, state, x, path):
             params.delta_fx, xext, state.phase, state.deficit, n_max, dt)
     elif path == "winsel":
         y = _arb_winsel(params, xext, state.phase, state.deficit, n_max, dt)
-    elif path.startswith("phaseall"):
-        y = _arb_phaseall(params, xext, state.phase, state.deficit, n_max,
-                          dt, path)
     else:
         inp, phi, frac = idx.accum_indices(
             params.nphi, params.delta_fx, state.phase, state.deficit, n_max)
@@ -877,7 +771,7 @@ def _farrow(params: FIRFarrow, state, x, path):
         if params.ratgrid_meta is None or n_max > params.ratgrid_meta.n_cap:
             raise ValueError(
                 "no rational-grid plan for this configuration/block size; "
-                "use path='phaseall' or 'windows'")
+                "use path='winsel' or 'windows'")
         y = farrow_ratgrid_apply(
             params.ratgrid_meta, params.k_ratgrid, params.nphi,
             params.delta_fx, xext, state.phase, state.deficit, n_max, dt)
@@ -895,9 +789,6 @@ def _farrow(params: FIRFarrow, state, x, path):
     elif path == "winsel":
         y = _farrow_winsel(params, xext, state.phase, state.deficit, n_max,
                            dt)
-    elif path.startswith("phaseall"):
-        y = _farrow_phaseall(params, xext, state.phase, state.deficit, n_max,
-                             dt, path)
     else:
         inp, phi, frac = idx.accum_indices(
             params.nphi, params.delta_fx, state.phase, state.deficit, n_max)
@@ -965,13 +856,24 @@ def _auto_path(params, x):
         return "pallas" if on_tpu else "conv"
     if isinstance(params, FIRRational):
         return "pallas" if on_tpu else "supercycle"
-    if isinstance(params, FIRFarrow):
-        # ratgrid (static banded matmul, no gathers) wins for few channels
-        # (measured v5e: 2265 vs winsel 246 Msps single-channel); wide
-        # batches amortize the chansel kernel's shared tap matrix better
-        # (4735 vs ratgrid 1346 Msps at 64 channels). Complex taps run
-        # the same paths twice on re/im bank halves (filt_block_raw).
+    if isinstance(params, (FIRArbitrary, FIRFarrow)):
         n_batch = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        dt = _out_dtype(params, x)
+        f32_path = (dt == jnp.float32 or dt == jnp.complex64)
+        # gridsel (rational-grid tile-adaptive fused kernel) dominates for
+        # few channels (measured v5e single-channel: arb 7.7 / Farrow 6.1
+        # Gsps vs winsel-v3 0.29 / ratgrid 2.3); wide batches amortize the
+        # chansel kernel's shared tap matrix better. Complex64 runs the
+        # same f32 paths planar-wise (filt_block_raw).
+        if (on_tpu and n_batch < 8 and f32_path
+                and params.gridsel_meta is not None
+                and idx.max_outputs(params, x.shape[-1])
+                <= params.gridsel_meta.n_cap):
+            return "gridsel"
+    if isinstance(params, FIRFarrow):
+        # ratgrid (static banded matmul, no gathers): the few-channel
+        # fallback when no gridsel plan exists (measured v5e: 2265 vs
+        # winsel 246 Msps single-channel).
         if (params.ratgrid_meta is not None
                 and n_batch < 8
                 and idx.max_outputs(params, x.shape[-1])
@@ -993,9 +895,8 @@ def _split_complex_taps(params):
     it; only the bank arrays split."""
     import dataclasses
 
-    fields = (("pfb", "dpfb", "kq_super", "kdq_super")
-              if isinstance(params, FIRArbitrary)
-              else ("pfb", "coeffs", "kf_super", "k_ratgrid"))
+    fields = (("pfb", "dpfb") if isinstance(params, FIRArbitrary)
+              else ("pfb", "coeffs", "k_ratgrid"))
     re = {f: getattr(params, f).real for f in fields
           if getattr(params, f) is not None}
     im = {f: getattr(params, f).imag for f in fields

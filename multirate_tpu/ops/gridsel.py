@@ -74,11 +74,19 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
     d_max = delta_fx // D + 2
     cross_lim = D if farrow else (1 << 32)
     best, best_cost = None, None
+    base = T + PAD_L + d_max + _DRIFT_SLOTS + 4
+    cands = []
     for (m, l) in _convergents(delta_fx, D, 512):
         # scale so one stream row holds the whole band span (two-segment
-        # matmul limit sp2 <= 2*M2) and is wide enough to matter
-        base = T + PAD_L + d_max + _DRIFT_SLOTS + 4
-        k = max(1, -(-max(base, 96) // m))
+        # matmul limit sp2 <= 2*M2) and is wide enough to matter ...
+        ks = {max(1, -(-max(base, 96) // m))}
+        # ... plus the variant-PACKING candidate: the largest scale with
+        # 2*L2 <= 128, so both crossing variants ride one 128-lane matmul
+        # (half the matmul + placement work; see pallas/gridsel.py)
+        if 64 // l >= 1:
+            ks.add(64 // l)
+        cands.extend((m, l, k) for k in sorted(ks))
+    for (m, l, k) in cands:
         M2, L2, eps = k * m, k * l, k * (l * delta_fx - m * D)
         if M2 + base > (1 << 10):      # q must fit _QBITS
             continue
@@ -115,19 +123,23 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
         # ((ceil8(P1*T), L2p) f32 — ADVICE r2: it grows with T*P1*L2p and
         # was previously unaccounted), x tiles, and (JT, L2p) row temps.
         P1 = (polyorder + 1) if (farrow and polyorder is not None) else 1
-        n_k = 2 * P1 if farrow else 4
-        vmem = 4 * (n_k * sp2 * L2p
+        packed = 2 * L2 <= L2p and eps != 0
+        # K matrices built (placement stages) / contracted (sp2-deep
+        # 3-pass matmuls): packing folds the B variant into the lane
+        # padding, halving both for arb and the matmul count for Farrow
+        n_k = (P1 if farrow else 2) * (1 if (packed or farrow) else 2)
+        n_mm = (P1 if farrow else 2) * (1 if packed else 2)
+        vmem = 4 * (max(n_k, n_mm) * sp2 * L2p
                     + (-(-(P1 * T) // 8) * 8) * L2p * (1 if farrow else 0)
                     + 2 * (jt + 8) * M2
                     + 6 * jt * L2p)
         if vmem > 12 * (1 << 20):
             continue
-        nvar = (2 * (1 if farrow else 2)) * ((T + 1) if farrow else 1)
         # cost per output, MXU MACs normalized to VPU ops (~25x thruput):
-        # matmuls contract the full sp2 rows for 4 (arb) / 2*P1-ish
-        # (farrow) column variants; placement is T compare/select stages
-        mxu = 2.0 * sp2 * nvar * (L2p / L2) / 25.0
-        vpu = 6.0 * T * sp2 * L2p / (jt * L2)
+        # 3-pass matmuls contract the full sp2 rows for n_mm column
+        # variants; placement is T compare/select stages per built K
+        mxu = 3.0 * sp2 * n_mm * (L2p / L2) / 25.0
+        vpu = 2.0 * T * n_k * sp2 * L2p / (jt * L2)
         cost = mxu + vpu
         if best_cost is None or cost < best_cost:
             best_cost = cost
@@ -137,21 +149,41 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
 
 
 def _pack(meta: GridselMeta, nphi: int, delta_fx: int, u0, d0,
-          tiles8: int, farrow: bool, jt: int | None = None):
+          tiles8: int, farrow: bool, jt: int | None = None,
+          packed: bool = False):
     """(pk int32, rowc f32, a0 f32), each (tiles8, L2p). Exact int64.
     ``jt`` overrides the plan's tile rows (batched kernels use smaller
-    tiles for VMEM; any jt <= meta.JT keeps the one-crossing bound)."""
+    tiles for VMEM; any jt <= meta.JT keeps the one-crossing bound).
+
+    ``packed`` (requires 2*L2 <= L2p): lanes [L2, 2*L2) carry column
+    l - L2's VARIANT-B state — q/phi stepped past the tile's crossing and
+    a0 pre-offset (alpha - dir for arb, psi - dir*nphi for Farrow) — so
+    the kernel builds ONE K per tap bank/power instead of an A/B pair and
+    combines with one static lane roll + select. The variant resolution
+    happens here in exact int64 (the kernel's _variant_b becomes a no-op
+    for packed plans)."""
     L2, M2, eps, JT, sp2, L2p, _, _ = meta
     JT = jt or JT
     D = nphi << PHASE_FRAC_BITS
     i64 = jnp.int64
+    dir_ = 0 if eps == 0 else (1 if eps > 0 else -1)
     jj0 = (jnp.arange(tiles8, dtype=i64) * JT)[:, None]
-    r = jnp.minimum(jnp.arange(L2p, dtype=i64), L2 - 1)[None, :]
+    lane = jnp.arange(L2p, dtype=i64)
+    if packed:
+        assert 2 * L2 <= L2p
+        isB = lane >= L2
+        r = jnp.clip(jnp.where(isB, lane - L2, lane), 0, L2 - 1)[None, :]
+        isB = isB[None, :]
+    else:
+        isB = None
+        r = jnp.minimum(lane, L2 - 1)[None, :]
     w0 = u0.astype(i64) + r * delta_fx + jj0 * eps
     if farrow:
         b = w0 // D
         rem = w0 - b * D                       # in [0, D)
         q = (d0.astype(i64) - 1) + b + PAD_L
+        if packed:
+            q = jnp.where(isB, q + dir_, q)
         pk = q.astype(jnp.int32)
         scale = D
     else:
@@ -160,6 +192,17 @@ def _pack(meta: GridselMeta, nphi: int, delta_fx: int, u0, d0,
         b = k // nphi
         phi = (k - b * nphi).astype(jnp.int32)
         q = (d0.astype(i64) - 1) + b + PAD_L
+        if packed:
+            # variant B: phi steps by dir with bank wraparound into q
+            phR = phi + jnp.int32(dir_)
+            qB = (q
+                  + jnp.where(phR == jnp.int32(nphi), 1, 0)
+                  - jnp.where(phR < jnp.int32(0), 1, 0))
+            phB = jnp.where(phR == jnp.int32(nphi), jnp.int32(0),
+                            jnp.where(phR < jnp.int32(0),
+                                      jnp.int32(nphi - 1), phR))
+            q = jnp.where(isB, qB, q)
+            phi = jnp.where(isB, phB, phi)
         pk = q.astype(jnp.int32) | (phi << jnp.int32(10))
         scale = 1 << 32
     if eps > 0:
@@ -176,8 +219,12 @@ def _pack(meta: GridselMeta, nphi: int, delta_fx: int, u0, d0,
     if farrow:
         a0 = (jnp.float32(1.0) + hi * jnp.float32(2.0 ** -16)
               + lo * jnp.float32(2.0 ** -32))
+        if packed:
+            a0 = jnp.where(isB, a0 - jnp.float32(dir_ * nphi), a0)
     else:
         a0 = hi * jnp.float32(2.0 ** -16) + lo * jnp.float32(2.0 ** -32)
+        if packed:
+            a0 = jnp.where(isB, a0 - jnp.float32(dir_), a0)
     return pk, rowc, a0
 
 
@@ -242,13 +289,15 @@ def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
                                  gridsel_resample_arb_batch)
 
     L2, M2, eps, JT, sp2, L2p, _, _ = meta
+    packed = 2 * L2 <= L2p and eps != 0
     lead = xext.shape[:-1]
     C = int(np.prod(lead)) if lead else 0
-    dims = _batch_dims(meta, C, n_k=4) if C >= 16 else None
+    dims = (_batch_dims(meta, C, n_k=2 if packed else 4)
+            if C >= 16 else None)
     jt = dims[1] if dims is not None else None
     num_tiles, tiles8 = _geometry(meta, n_max, jt)
     pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
-                         farrow=False, jt=jt)
+                         farrow=False, jt=jt, packed=packed)
     x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
     T = pfb.shape[0]
     T8 = -(-T // 8) * 8
@@ -260,7 +309,7 @@ def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
     kw = dict(M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
               dir_=(0 if eps == 0 else (1 if eps > 0 else -1)),
               deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
-              interpret=interp)
+              packed=packed, interpret=interp)
 
     if dims is not None:
         cb, jt_b = dims
@@ -294,13 +343,15 @@ def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
 
     L2, M2, eps, JT, sp2, L2p, _, _ = meta
     P1, T = coeffs.shape
+    packed = 2 * L2 <= L2p and eps != 0
     lead = xext.shape[:-1]
     C = int(np.prod(lead)) if lead else 0
-    dims = _batch_dims(meta, C, n_k=2 * P1) if C >= 16 else None
+    dims = (_batch_dims(meta, C, n_k=P1 if packed else 2 * P1)
+            if C >= 16 else None)
     jt = dims[1] if dims is not None else None
     num_tiles, tiles8 = _geometry(meta, n_max, jt)
     pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
-                         farrow=True, jt=jt)
+                         farrow=True, jt=jt, packed=packed)
     x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
     # lane-pre-broadcast layout: row p*T + t = coeffs[p, t] across all L2p
     # lanes (the kernel's placement stages need (1, L2p) rows — Mosaic has
@@ -314,7 +365,7 @@ def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
     kw = dict(M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
               P1=P1, dir_=(0 if eps == 0 else (1 if eps > 0 else -1)),
               deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
-              interpret=interp)
+              packed=packed, interpret=interp)
 
     if dims is not None:
         cb, jt_b = dims

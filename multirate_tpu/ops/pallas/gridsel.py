@@ -92,6 +92,30 @@ def _variant_b(qA, phA, nphi: int, dir_: int):
     return qB, phB
 
 
+def _build_k_arb_packed(pk, bp, bd, *, T: int, nphi: int, sp2: int,
+                        L2p: int):
+    """(kP, kD) for a variant-PACKED plan: every lane already carries its
+    own resolved (q, phi) (lanes [L2, 2*L2) are the B variants, packed by
+    ops/gridsel._pack), so one one-hot + one placement pass covers both
+    variants — half the matmul and placement work of the A/B build."""
+    f32 = jnp.float32
+    q = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
+    ph = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
+    iop = jax.lax.broadcasted_iota(jnp.int32, (nphi, L2p), 0)
+    oh = (iop == ph[None, :]).astype(f32)
+    tp = jnp.dot(bp, oh, precision=_HI, preferred_element_type=f32)
+    td = jnp.dot(bd, oh, precision=_HI, preferred_element_type=f32)
+    iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
+    z = jnp.float32(0.0)
+    kP = jnp.zeros((sp2, L2p), f32)
+    kD = jnp.zeros((sp2, L2p), f32)
+    for t in range(T):
+        m = iou == (q + jnp.int32(t))[None, :]
+        kP = kP + jnp.where(m, tp[t:t + 1, :], z)
+        kD = kD + jnp.where(m, td[t:t + 1, :], z)
+    return kP, kD
+
+
 def _build_k_arb(pk, bp, bd, *, T: int, nphi: int, sp2: int, L2p: int,
                  dir_: int):
     """(kAp, kAd, kBp, kBd) banded tap matrices for one tile's columns."""
@@ -128,8 +152,11 @@ def _build_k_arb(pk, bp, bd, *, T: int, nphi: int, sp2: int, L2p: int,
 
 
 def _build_k_farrow(pk, cf, *, T: int, P1: int, sp2: int, L2p: int,
-                    dir_: int):
-    """(ksA + ksB) 2*P1 banded polynomial-slice tap matrices."""
+                    dir_: int, packed: bool = False):
+    """(ksA + ksB) 2*P1 banded polynomial-slice tap matrices — or just P1
+    for a variant-PACKED plan, where each lane's q is already resolved
+    (Farrow's B variant shares the polynomial taps, so packing removes
+    the P1 variant-B rolls AND halves the matmul count)."""
     f32 = jnp.float32
     qA = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
     iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
@@ -144,6 +171,8 @@ def _build_k_farrow(pk, cf, *, T: int, P1: int, sp2: int, L2p: int,
         for p in range(P1):
             c = cf[p * T + t: p * T + t + 1, :]           # (1, L2p) tap row
             ksA[p] = ksA[p] + jnp.where(mA, c, z)
+    if packed:
+        return ksA
     # Variant B is q stepped by dir_ with the SAME polynomial taps (Farrow
     # coeffs span all banks), so K_B is K_A rolled dir_ sublane rows. The
     # wrapped row is zero under the plan's own placement bound (q_B + T <=
@@ -155,35 +184,85 @@ def _build_k_farrow(pk, cf, *, T: int, P1: int, sp2: int, L2p: int,
     return ksA + ksB
 
 
+def _arb_y(mm, kmats, rowc, a0, rowf, *, L2: int, L2p: int, dir_: int,
+           deps: float, packed: bool):
+    """Combine the arb matmul results into the (rows, L2p) output tile.
+
+    Packed plans evaluate ONE fused alpha-affine result over all lanes
+    (B lanes carry pre-offset alpha), then align the B columns onto the A
+    columns with one static lane roll and select by crossing row."""
+    f32 = jnp.float32
+    alin = a0[None, :] + rowf * jnp.float32(deps)
+    if dir_ == 0:
+        # no drift: variant B never occurs (single-variant build)
+        kP, kD = kmats
+        return mm(kP) + alin * mm(kD)
+    mask = rowf >= rowc[None, :]
+    if packed:
+        kP, kD = kmats
+        yall = mm(kP) + alin * mm(kD)
+        yB = pltpu.roll(yall, jnp.int32(L2p - L2), axis=1)
+        return jnp.where(mask, yB, yall)
+    kAp, kAd, kBp, kBd = kmats
+    GpA, GdA = mm(kAp), mm(kAd)
+    GpB, GdB = mm(kBp), mm(kBd)
+    return jnp.where(mask, GpB + (alin - jnp.float32(dir_)) * GdB,
+                     GpA + alin * GdA)
+
+
+def _farrow_y(mm, ks, rowc, a0, rowf, *, L2: int, L2p: int, P1: int,
+              nphi: int, dir_: int, deps: float, packed: bool):
+    """Combine the Farrow matmul results: psi-Horner per variant (or one
+    fused pass over packed lanes), crossing-row select."""
+    f32 = jnp.float32
+    plin = a0[None, :] + rowf * jnp.float32(deps)
+    if dir_ == 0 or packed:
+        acc = mm(ks[P1 - 1])
+        for p in range(P1 - 2, -1, -1):
+            acc = acc * plin + mm(ks[p])
+        if dir_ == 0:      # no drift: no crossing, no variant B
+            return acc
+        mask = rowf >= rowc[None, :]
+        yB = pltpu.roll(acc, jnp.int32(L2p - L2), axis=1)
+        return jnp.where(mask, yB, acc)
+    mask = rowf >= rowc[None, :]
+    psiB = plin - jnp.float32(dir_ * nphi)
+    accA = mm(ks[P1 - 1])
+    accB = mm(ks[2 * P1 - 1])
+    for p in range(P1 - 2, -1, -1):
+        accA = accA * plin + mm(ks[p])
+        accB = accB * psiB + mm(ks[P1 + p])
+    return jnp.where(mask, accB, accA)
+
+
 def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
                 JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
-                L2p: int, dir_: int, deps: float, three_pass: bool):
+                L2p: int, dir_: int, deps: float, three_pass: bool,
+                packed: bool = False):
     f32 = jnp.float32
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
     pk = pk_ref[sub, :]                                   # (L2p,) int32
     rowc = rowc_ref[sub, :]                               # (L2p,) f32
     a0 = a0_ref[sub, :]                                   # (L2p,) f32
-    kAp, kAd, kBp, kBd = _build_k_arb(
-        pk, bp_ref[...], bd_ref[...], T=T, nphi=nphi, sp2=sp2, L2p=L2p,
-        dir_=dir_)
+    if packed or dir_ == 0:
+        kmats = _build_k_arb_packed(pk, bp_ref[...], bd_ref[...], T=T,
+                                    nphi=nphi, sp2=sp2, L2p=L2p)
+    else:
+        kmats = _build_k_arb(pk, bp_ref[...], bd_ref[...], T=T, nphi=nphi,
+                             sp2=sp2, L2p=L2p, dir_=dir_)
 
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)        # (JT+8, M2)
     mm = _make_mm(xcat, JT, M2, sp2, three_pass)
-    GpA, GdA = mm(kAp), mm(kAd)
-    GpB, GdB = mm(kBp), mm(kBd)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
-    alin = a0[None, :] + row * jnp.float32(deps)
-    mask = row >= rowc[None, :]
-    y = jnp.where(mask, GpB + (alin - jnp.float32(dir_)) * GdB,
-                  GpA + alin * GdA)
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
+    y = _arb_y(mm, kmats, rowc, a0, rowf, L2=L2, L2p=L2p, dir_=dir_,
+               deps=deps, packed=packed)
     o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
 
 
 def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
                    JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
                    L2p: int, P1: int, dir_: int, deps: float,
-                   three_pass: bool):
+                   three_pass: bool, packed: bool = False):
     # Farrow: taps are a single polynomial in the continuous phase psi
     # (coeffs fitted across ALL banks, ops/pfb.pfb2pnfb), so the only
     # crossing is the window step (w crossing a multiple of D): variant B
@@ -195,21 +274,13 @@ def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
     rowc = rowc_ref[sub, :]
     a0 = a0_ref[sub, :]                                   # psi0 (1-based)
     ks = _build_k_farrow(pk, cf_ref[...], T=T, P1=P1, sp2=sp2, L2p=L2p,
-                         dir_=dir_)
+                         dir_=dir_, packed=packed or dir_ == 0)
 
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)
     mm = _make_mm(xcat, JT, M2, sp2, three_pass)
-    row = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
-    plin = a0[None, :] + row * jnp.float32(deps)
-    psiA = plin
-    psiB = plin - jnp.float32(dir_ * nphi)
-    accA = mm(ks[P1 - 1])
-    accB = mm(ks[2 * P1 - 1])
-    for p in range(P1 - 2, -1, -1):
-        accA = accA * psiA + mm(ks[p])
-        accB = accB * psiB + mm(ks[P1 + p])
-    mask = row >= rowc[None, :]
-    y = jnp.where(mask, accB, accA)
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
+    y = _farrow_y(mm, ks, rowc, a0, rowf, L2=L2, L2p=L2p, P1=P1,
+                  nphi=nphi, dir_=dir_, deps=deps, packed=packed)
     o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
 
 
@@ -242,7 +313,7 @@ def _launch(kern, packs, xblocks, banks, meta, num_tiles, interpret):
 
 def gridsel_resample_arb(x2d, pk, rowc, a0, bp, bd, *, JT, M2, sp2, T,
                          nphi, L2, L2p, dir_, deps, num_tiles,
-                         three_pass=True, interpret=False):
+                         three_pass=True, packed=False, interpret=False):
     """One-channel arbitrary resample over pre-tiled ``x2d`` (R, M2).
 
     pk/rowc/a0: (tiles8, L2p) per-(tile, column) packed indices / exact
@@ -251,18 +322,21 @@ def gridsel_resample_arb(x2d, pk, rowc, a0, bp, bd, *, JT, M2, sp2, T,
     """
     kern = functools.partial(_kernel_arb, JT=JT, M2=M2, sp2=sp2, T=T,
                              nphi=nphi, L2=L2, L2p=L2p, dir_=dir_,
-                             deps=deps, three_pass=three_pass)
+                             deps=deps, three_pass=three_pass,
+                             packed=packed)
     return _launch(kern, (pk, rowc, a0), x2d, (bp, bd),
                    (JT, M2, sp2, L2, L2p), num_tiles, interpret)
 
 
 def gridsel_resample_farrow(x2d, pk, rowc, a0, cf, *, JT, M2, sp2, T,
                             nphi, L2, L2p, P1, dir_, deps, num_tiles,
-                            three_pass=True, interpret=False):
+                            three_pass=True, packed=False,
+                            interpret=False):
     """One-channel Farrow resample over pre-tiled ``x2d`` (R, M2)."""
     kern = functools.partial(_kernel_farrow, JT=JT, M2=M2, sp2=sp2, T=T,
                              nphi=nphi, L2=L2, L2p=L2p, P1=P1, dir_=dir_,
-                             deps=deps, three_pass=three_pass)
+                             deps=deps, three_pass=three_pass,
+                             packed=packed)
     return _launch(kern, (pk, rowc, a0), x2d, (cf,),
                    (JT, M2, sp2, L2, L2p), num_tiles, interpret)
 
@@ -283,30 +357,34 @@ def gridsel_resample_farrow(x2d, pk, rowc, a0, cf, *, JT, M2, sp2, T,
 # --------------------------------------------------------------------------- #
 
 
+def _batch_rowf(CB, JTP, L2p):
+    """Per-row output-row index within its channel: r = c*JTP + rowj with
+    JTP a power of two, so rowj is one AND mask."""
+    return jax.lax.bitwise_and(
+        jax.lax.broadcasted_iota(jnp.int32, (CB * JTP, L2p), 0),
+        jnp.int32(JTP - 1)).astype(jnp.float32)
+
+
 def _kernel_arb_batch(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref,
                       o_ref, *, CB: int, JT: int, M2: int, sp2: int, T: int,
-                      nphi: int, L2: int, L2p: int, dir_: int, deps: float):
-    f32 = jnp.float32
+                      nphi: int, L2: int, L2p: int, dir_: int, deps: float,
+                      packed: bool = False):
     sub = jax.lax.rem(pl.program_id(1), jnp.int32(8))
     pk = pk_ref[sub, :]
     rowc = rowc_ref[sub, :]
     a0 = a0_ref[sub, :]
-    kAp, kAd, kBp, kBd = _build_k_arb(
-        pk, bp_ref[...], bd_ref[...], T=T, nphi=nphi, sp2=sp2, L2p=L2p,
-        dir_=dir_)
+    if packed or dir_ == 0:
+        kmats = _build_k_arb_packed(pk, bp_ref[...], bd_ref[...], T=T,
+                                    nphi=nphi, sp2=sp2, L2p=L2p)
+    else:
+        kmats = _build_k_arb(pk, bp_ref[...], bd_ref[...], T=T, nphi=nphi,
+                             sp2=sp2, L2p=L2p, dir_=dir_)
     JTP = JT + 8
     CBT = CB * JTP
     X0 = jnp.concatenate([xa[...], xb[...]], axis=1).reshape(CBT, M2)
     mm = _make_mm(X0, CBT, M2, sp2, True)
-    GpA, GdA = mm(kAp), mm(kAd)
-    GpB, GdB = mm(kBp), mm(kBd)
-    rowj = jax.lax.bitwise_and(
-        jax.lax.broadcasted_iota(jnp.int32, (CBT, L2p), 0),
-        jnp.int32(JTP - 1)).astype(f32)
-    alin = a0[None, :] + rowj * jnp.float32(deps)
-    mask = rowj >= rowc[None, :]
-    y = jnp.where(mask, GpB + (alin - jnp.float32(dir_)) * GdB,
-                  GpA + alin * GdA)
+    y = _arb_y(mm, kmats, rowc, a0, _batch_rowf(CB, JTP, L2p), L2=L2,
+               L2p=L2p, dir_=dir_, deps=deps, packed=packed)
     for c in range(CB):
         o_ref[c, :, :] = y[c * JTP:c * JTP + JT, :L2].astype(o_ref.dtype)
 
@@ -314,30 +392,20 @@ def _kernel_arb_batch(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref,
 def _kernel_farrow_batch(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
                          CB: int, JT: int, M2: int, sp2: int, T: int,
                          nphi: int, L2: int, L2p: int, P1: int, dir_: int,
-                         deps: float):
-    f32 = jnp.float32
+                         deps: float, packed: bool = False):
     sub = jax.lax.rem(pl.program_id(1), jnp.int32(8))
     pk = pk_ref[sub, :]
     rowc = rowc_ref[sub, :]
     a0 = a0_ref[sub, :]
     ks = _build_k_farrow(pk, cf_ref[...], T=T, P1=P1, sp2=sp2, L2p=L2p,
-                         dir_=dir_)
+                         dir_=dir_, packed=packed or dir_ == 0)
     JTP = JT + 8
     CBT = CB * JTP
     X0 = jnp.concatenate([xa[...], xb[...]], axis=1).reshape(CBT, M2)
     mm = _make_mm(X0, CBT, M2, sp2, True)
-    rowj = jax.lax.bitwise_and(
-        jax.lax.broadcasted_iota(jnp.int32, (CBT, L2p), 0),
-        jnp.int32(JTP - 1)).astype(f32)
-    plin = a0[None, :] + rowj * jnp.float32(deps)
-    psiB = plin - jnp.float32(dir_ * nphi)
-    accA = mm(ks[P1 - 1])
-    accB = mm(ks[2 * P1 - 1])
-    for p in range(P1 - 2, -1, -1):
-        accA = accA * plin + mm(ks[p])
-        accB = accB * psiB + mm(ks[P1 + p])
-    mask = rowj >= rowc[None, :]
-    y = jnp.where(mask, accB, accA)
+    y = _farrow_y(mm, ks, rowc, a0, _batch_rowf(CB, JTP, L2p), L2=L2,
+                  L2p=L2p, P1=P1, nphi=nphi, dir_=dir_, deps=deps,
+                  packed=packed)
     for c in range(CB):
         o_ref[c, :, :] = y[c * JTP:c * JTP + JT, :L2].astype(o_ref.dtype)
 
@@ -374,7 +442,7 @@ def _launch_batch(kern, packs, x3d, banks, meta_t, num_tiles, CB, interpret):
 
 def gridsel_resample_arb_batch(x3d, pk, rowc, a0, bp, bd, *, CB, JT, M2,
                                sp2, T, nphi, L2, L2p, dir_, deps,
-                               num_tiles, interpret=False):
+                               num_tiles, packed=False, interpret=False):
     """Batched arbitrary resample over pre-tiled ``x3d`` (C, R, M2); all
     channels share the packed per-tile index state. C % CB == 0 and
     (JT + 8) a power of two (callers pad/choose). Returns
@@ -382,18 +450,19 @@ def gridsel_resample_arb_batch(x3d, pk, rowc, a0, bp, bd, *, CB, JT, M2,
     assert x3d.shape[0] % CB == 0 and ((JT + 8) & (JT + 7)) == 0
     kern = functools.partial(_kernel_arb_batch, CB=CB, JT=JT, M2=M2,
                              sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
-                             dir_=dir_, deps=deps)
+                             dir_=dir_, deps=deps, packed=packed)
     return _launch_batch(kern, (pk, rowc, a0), x3d, (bp, bd),
                          (JT, M2, sp2, L2, L2p), num_tiles, CB, interpret)
 
 
 def gridsel_resample_farrow_batch(x3d, pk, rowc, a0, cf, *, CB, JT, M2,
                                   sp2, T, nphi, L2, L2p, P1, dir_, deps,
-                                  num_tiles, interpret=False):
+                                  num_tiles, packed=False,
+                                  interpret=False):
     """Batched Farrow resample over pre-tiled ``x3d`` (C, R, M2)."""
     assert x3d.shape[0] % CB == 0 and ((JT + 8) & (JT + 7)) == 0
     kern = functools.partial(_kernel_farrow_batch, CB=CB, JT=JT, M2=M2,
                              sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
-                             P1=P1, dir_=dir_, deps=deps)
+                             P1=P1, dir_=dir_, deps=deps, packed=packed)
     return _launch_batch(kern, (pk, rowc, a0), x3d, (cf,),
                          (JT, M2, sp2, L2, L2p), num_tiles, CB, interpret)

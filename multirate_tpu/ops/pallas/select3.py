@@ -1,6 +1,6 @@
 """Fused arbitrary/Farrow resampler Pallas kernels, v3 (fat static tiles).
 
-v2 (select2.py) is correct but grid-step-bound: ~920 tiles of 512 outputs,
+v2 (select2.py, since removed) was correct but grid-step-bound: ~920 tiles of 512 outputs,
 each with scalar-prefetched data-dependent block indexing (~4 us/step of
 DMA-issue overhead dominates the tiny compute). v3 removes every dynamic
 index from the BlockSpecs so the pipeline is fully static, and each grid
@@ -105,7 +105,7 @@ def v3_geometry(nphi, delta_fx, T, n_out, nsub=16, farrow=False):
     """Geometry or None. nphi gates: the arb packing gives the phase a
     5-bit field (bits 11-15, below a16), so nphi <= 32 is the hard limit;
     the Farrow psi prep `(rem << 21) // D` needs rem << 21 < 2^63, i.e.
-    nphi <= 1024. Out-of-range configs fall back to the phaseall/windows
+    nphi <= 1024. Out-of-range configs fall back to the v1-winsel/windows
     paths instead of silently corrupting the phase field."""
     if farrow:
         if nphi > 1024:

@@ -61,10 +61,14 @@ class V4Geometry:
         self.step_out = _SUB * _NO
         self.steps = -(-n_out // self.step_out)
         self.steps8 = -(-self.steps // 8) * 8
-        # per-tile matmul window: tile span + taps + tile-base rounding,
-        # 128-rounded (the window slides by a dynamic 128-aligned base)
-        ms = delta_fx // D + 1
-        self.uw = -(-(_NO * ms + T + 2 * _LANES) // _LANES) * _LANES
+        # per-tile matmul window: EXACT max window-start span over one
+        # tile's _NO outputs (consecutive starts step by delta_fx/D) +
+        # taps + up to _LANES-1 of 128-aligned tile-base flooring. The
+        # old ms = delta//D + 1 integer ceiling padded this ~1.7x for
+        # fractional rates (e.g. 640 vs 384 at rate 0.9173) — pure
+        # placement-stage and matmul-depth waste.
+        span = ((_NO - 1) * delta_fx + D - 1) // D + 1
+        self.uw = -(-(span + T + _LANES) // _LANES) * _LANES
         # x block: one step's span + window + jitter rows of 128 lanes
         span_cols = -(-(self.step_out * delta_fx // D + T + 2 * _LANES)
                       // _LANES)

@@ -386,8 +386,6 @@ class FIRArbitrary:
 
     pfb: Any = _array()   # (taps_per_phi, nphi)
     dpfb: Any = _array()  # (taps_per_phi, nphi)
-    kq_super: Any = _array(default=None)   # interp-geometry band of pfb
-    kdq_super: Any = _array(default=None)  # interp-geometry band of dpfb
     nphi: int = 32
     taps_per_phi: int = 0
     rate: float = 1.0
@@ -408,8 +406,6 @@ class FIRArbitrary:
         from .gridsel import build_gridsel_plan
         gs_meta = build_gridsel_plan(nphi, dfx, bank.shape[0])
         return cls(pfb=jnp.asarray(bank), dpfb=jnp.asarray(dbank),
-                   kq_super=_k_super(bank, nphi, 1, g),
-                   kdq_super=_k_super(dbank, nphi, 1, g),
                    nphi=nphi, taps_per_phi=bank.shape[0], rate=float(rate),
                    delta_fx=dfx, sc_group=g, gridsel_meta=gs_meta)
 
@@ -432,7 +428,6 @@ class FIRFarrow:
 
     pfb: Any = _array()     # (taps_per_phi, nphi)
     coeffs: Any = _array()  # (polyorder+1, taps_per_phi), float64 fit
-    kf_super: Any = _array(default=None)  # per-power FIR band (interp geom)
     k_ratgrid: Any = _array(default=None)  # rational-grid banded K
     nphi: int = 32
     taps_per_phi: int = 0
@@ -462,7 +457,6 @@ class FIRFarrow:
         gs_meta = build_gridsel_plan(nphi, dfx, bank.shape[0], farrow=True,
                                      polyorder=polyorder)
         return cls(pfb=jnp.asarray(bank), coeffs=jnp.asarray(C),
-                   kf_super=_k_super(cbank, P1, 1, g),
                    k_ratgrid=None if rg_k is None else jnp.asarray(rg_k),
                    nphi=nphi, taps_per_phi=bank.shape[0], rate=float(rate),
                    delta_fx=dfx, polyorder=polyorder,

@@ -99,37 +99,27 @@ def test_generalized_supercycle_streaming_decimator(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
 
 
-@pytest.mark.parametrize("rate", [0.4709, 1.7, 3.2])
-def test_phaseall_paths_match_windows(rng, rate):
-    """Arb/Farrow interpolate-everything + pallas select kernels vs the
-    windows reference path."""
-    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
-         ).astype(np.float32)
-    x = rng.standard_normal(4000).astype(np.float32)
-    ref = np.asarray(mr.filt(h, x, rate, path="windows"))
-    for p in ("phaseall-xla", "phaseall"):
-        y = np.asarray(mr.filt(h, x, rate, path=p))
-        assert y.shape == ref.shape
-        np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-5,
-                                   err_msg=f"arb {p} rate={rate}")
-    reff = np.asarray(mr.filt(h, x, rate, 32, 4, path="windows"))
-    for p in ("phaseall-xla", "phaseall"):
-        y = np.asarray(mr.filt(h, x, rate, 32, 4, path=p))
-        assert y.shape == reff.shape
-        np.testing.assert_allclose(y, reff, rtol=2e-3, atol=2e-3,
-                                   err_msg=f"farrow {p} rate={rate}")
-
-
-def test_phaseall_streaming_chunked(rng):
+@pytest.mark.parametrize("rate", [0.4709, 1.7])
+def test_winsel_v1_fallback_f64(rng, rate):
+    """Non-f32 dtypes skip the v3/v4/gridsel f32 fast paths and run the v1
+    lane-roll winsel kernels (select.py) — arb + Farrow, plus chunked
+    streaming (this is the only remaining consumer of the v1 kernels
+    since the phaseall/select2 paths were removed)."""
     h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
          ).astype(np.float64)
-    x = rng.standard_normal(3000)
-    ref = np.asarray(mr.filt(h, x, 1.313, path="windows"))
-    f = mr.FIRFilter(h, 1.313, path="phaseall")
+    x = rng.standard_normal(4000)
+    ref = np.asarray(mr.filt(h, x, rate, path="windows"))
+    y = np.asarray(mr.filt(h, x, rate, path="winsel"))
+    assert y.shape == ref.shape and y.dtype == ref.dtype
+    np.testing.assert_allclose(y, ref, rtol=1e-9, atol=1e-11)
+    reff = np.asarray(mr.filt(h, x, rate, 32, 4, path="windows"))
+    yf = np.asarray(mr.filt(h, x, rate, 32, 4, path="winsel"))
+    np.testing.assert_allclose(yf, reff, rtol=1e-9, atol=1e-11)
+    f = mr.FIRFilter(h, rate, path="winsel")
     got = np.concatenate([np.asarray(f.filt(x[i:i + 600]))
                           for i in range(0, 3000, 600)])
-    assert got.shape == ref.shape
-    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(got, ref[:got.shape[-1]], rtol=1e-9,
+                               atol=1e-11)
 
 
 def test_complex_signal_planar_fast_paths(rng):
@@ -151,18 +141,6 @@ def test_complex_signal_planar_fast_paths(rng):
                           for i in range(0, 3000, 750)])
     ref = np.asarray(mr.filt(h, x, F(7, 5), path="windows"))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
-
-
-def test_batched_phaseall_vmapped_select(rng):
-    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
-         ).astype(np.float32)
-    x = rng.standard_normal((3, 2000)).astype(np.float32)
-    ref = np.asarray(mr.filt(h, x, 1.313, path="windows"))
-    y = np.asarray(mr.filt(h, x, 1.313, path="phaseall"))
-    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-5)
-    reff = np.asarray(mr.filt(h, x, 1.313, 32, 4, path="windows"))
-    yf = np.asarray(mr.filt(h, x, 1.313, 32, 4, path="phaseall"))
-    np.testing.assert_allclose(yf, reff, rtol=2e-3, atol=2e-3)
 
 
 @pytest.mark.parametrize("rate", [0.4709, 1.0 + 1e-9, 1.7, 3.2])
@@ -372,6 +350,36 @@ def test_gridsel_batch_kernel(rng, C):
         y = np.asarray(mr.filt(h, xb, 0.9173, 32, *extra, path="gridsel"))
         assert y.shape == ref.shape
         np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("rate", [0.47058825, 12 / 11 - 1e-9, 0.75])
+def test_gridsel_packed_plan(rng, rate):
+    """Variant-PACKED gridsel plans (2*L2 <= 128: the B variant rides the
+    lane padding; near-rational rates) == windows oracle, arb + Farrow,
+    single-channel and 16-channel batch, plus chunked streaming."""
+    from multirate_tpu.ops.gridsel import _pack  # noqa: F401
+
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    x = rng.standard_normal(9000).astype(np.float32)
+    xb = rng.standard_normal((16, 6000)).astype(np.float32)
+    for extra in ((), (4,)):
+        p = mr.make_kernel(h, rate=rate, nphi=32,
+                           polyorder=(extra or (None,))[0])
+        m = p.gridsel_meta
+        assert m is not None and 2 * m.L2 <= m.L2p
+        ref = np.asarray(mr.filt(h, x, rate, 32, *extra, path="windows"))
+        y = np.asarray(mr.filt(h, x, rate, 32, *extra, path="gridsel"))
+        np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+        refb = np.asarray(mr.filt(h, xb, rate, 32, *extra, path="windows"))
+        yb = np.asarray(mr.filt(h, xb, rate, 32, *extra, path="gridsel"))
+        np.testing.assert_allclose(yb, refb, rtol=2e-4, atol=2e-4)
+        f = mr.FIRFilter(h, rate, nphi=32, polyorder=(extra or (None,))[0],
+                         path="gridsel")
+        got = np.concatenate([np.asarray(f.filt(x[i:i + 4021]))
+                              for i in range(0, 9000, 4021)])
+        n = min(got.shape[-1], ref.shape[-1])
+        np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-4, atol=2e-4)
 
 
 def test_gridsel_batch_streaming_chunked(rng):
