@@ -32,9 +32,15 @@ from .params import PHASE_FRAC_BITS
 __all__ = ["build_gridsel_plan", "GridselMeta", "arb_gridsel_apply",
            "farrow_gridsel_apply"]
 
-PAD_L = 8          # left zero-pad samples: absorbs downward drift (q >= 0)
 N_CAP = 1 << 24
-_DRIFT_SLOTS = 4   # whole-window drift budget over one block
+# Whole-window drift budget over one block: n_cap (the per-call output
+# cap) scales LINEARLY with it, at the price of _DRIFT_SLOTS extra rows
+# of matmul depth (sp2) and left zero-padding. 16 keeps the 8M-input
+# bench blocks (n_max ~ 3.8M outputs at rate 0.4709) inside one call
+# (+~7% sp2 for the 0.4709 plan); 4 capped them at ~1.7M and the bench
+# fell back to the 25x-slower winsel kernel.
+_DRIFT_SLOTS = 16
+PAD_L = _DRIFT_SLOTS + 8   # left zero pad: absorbs downward drift (q >= 0)
 _MIN_CAP = 1 << 16
 
 

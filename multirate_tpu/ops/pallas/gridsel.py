@@ -92,71 +92,120 @@ def _variant_b(qA, phA, nphi: int, dir_: int):
     return qB, phB
 
 
-def _build_k_arb_packed(pk, bp, bd, *, T: int, nphi: int, sp2: int,
-                        L2p: int):
-    """(kP, kD) for a variant-PACKED plan: every lane already carries its
-    own resolved (q, phi) (lanes [L2, 2*L2) are the B variants, packed by
-    ops/gridsel._pack), so one one-hot + one placement pass covers both
-    variants — half the matmul and placement work of the A/B build."""
+# BUILD-AND-CONSUME placement discipline (this is load-bearing): each
+# (sp2, L2p) banded tap matrix is ~20-30 vregs. Building all of a tile's
+# variants/power-slices before contracting them keeps 4 (arb) .. 10
+# (Farrow P1=5) of them LIVE through every placement stage — far past the
+# vector register file — and every stage then round-trips its accumulators
+# through VMEM. Measured on the batched Farrow kernel (exp/exp18): the
+# all-live build was 7.7x slower than the same kernel with placement
+# removed; the whole kernel sat at 7.8 Gsps vs a 135 Gsps matmul-only
+# skeleton. The helpers below therefore place AT MOST TWO matrices at a
+# time, and the tile flows (_arb_tile/_farrow_tile) contract each one
+# immediately, re-deriving masks per matrix instead of sharing them.
+
+
+def _place2(q, rows_p, rows_d, *, T: int, sp2: int, L2p: int):
+    """(kP, kD): rows_*[t] placed at row q_col + t of column col. The
+    per-t compare mask is shared by the pair."""
     f32 = jnp.float32
-    q = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
-    ph = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
-    iop = jax.lax.broadcasted_iota(jnp.int32, (nphi, L2p), 0)
-    oh = (iop == ph[None, :]).astype(f32)
-    tp = jnp.dot(bp, oh, precision=_HI, preferred_element_type=f32)
-    td = jnp.dot(bd, oh, precision=_HI, preferred_element_type=f32)
     iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
     z = jnp.float32(0.0)
     kP = jnp.zeros((sp2, L2p), f32)
     kD = jnp.zeros((sp2, L2p), f32)
     for t in range(T):
         m = iou == (q + jnp.int32(t))[None, :]
-        kP = kP + jnp.where(m, tp[t:t + 1, :], z)
-        kD = kD + jnp.where(m, td[t:t + 1, :], z)
+        kP = kP + jnp.where(m, rows_p[t:t + 1, :], z)
+        kD = kD + jnp.where(m, rows_d[t:t + 1, :], z)
     return kP, kD
 
 
-def _build_k_arb(pk, bp, bd, *, T: int, nphi: int, sp2: int, L2p: int,
-                 dir_: int):
-    """(kAp, kAd, kBp, kBd) banded tap matrices for one tile's columns."""
+def _place1(q, rows, *, T: int, sp2: int, L2p: int, row0: int = 0):
+    """One placed matrix from rows[row0 + t]."""
     f32 = jnp.float32
-    qA = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
-    phA = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
-    qB, phB = _variant_b(qA, phA, nphi, dir_)
-
-    # per-column tap vectors for both variants: tiny one-hot matmuls
-    # against the VMEM-resident banks (T128, nphi)
-    iop = jax.lax.broadcasted_iota(jnp.int32, (nphi, L2p), 0)
-    ohA = (iop == phA[None, :]).astype(f32)
-    ohB = (iop == phB[None, :]).astype(f32)
-    tpA = jnp.dot(bp, ohA, precision=_HI, preferred_element_type=f32)
-    tdA = jnp.dot(bd, ohA, precision=_HI, preferred_element_type=f32)
-    tpB = jnp.dot(bp, ohB, precision=_HI, preferred_element_type=f32)
-    tdB = jnp.dot(bd, ohB, precision=_HI, preferred_element_type=f32)
-
-    # banded placement: K[q_col + t, col] = taps[t, col], T compare stages
     iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
     z = jnp.float32(0.0)
-    kAp = jnp.zeros((sp2, L2p), f32)
-    kAd = jnp.zeros((sp2, L2p), f32)
-    kBp = jnp.zeros((sp2, L2p), f32)
-    kBd = jnp.zeros((sp2, L2p), f32)
+    k = jnp.zeros((sp2, L2p), f32)
     for t in range(T):
-        mA = iou == (qA + jnp.int32(t))[None, :]
-        mB = iou == (qB + jnp.int32(t))[None, :]
-        kAp = kAp + jnp.where(mA, tpA[t:t + 1, :], z)
-        kAd = kAd + jnp.where(mA, tdA[t:t + 1, :], z)
-        kBp = kBp + jnp.where(mB, tpB[t:t + 1, :], z)
-        kBd = kBd + jnp.where(mB, tdB[t:t + 1, :], z)
-    return kAp, kAd, kBp, kBd
+        m = iou == (q + jnp.int32(t))[None, :]
+        k = k + jnp.where(m, rows[row0 + t:row0 + t + 1, :], z)
+    return k
+
+
+def _arb_tile(mm, pk, rowc, a0, rowf, bp, bd, *, T: int, nphi: int,
+              sp2: int, L2: int, L2p: int, dir_: int, deps: float,
+              packed: bool):
+    """One tile's arb output (rows, L2p): per-variant K pairs are placed
+    and contracted one at a time (see the build-and-consume note)."""
+    f32 = jnp.float32
+    alin = a0[None, :] + rowf * jnp.float32(deps)
+    q = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
+    ph = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
+    iop = jax.lax.broadcasted_iota(jnp.int32, (nphi, L2p), 0)
+
+    def tapvecs(ph_):
+        # per-column tap vectors: tiny one-hot matmuls against the
+        # VMEM-resident (T128, nphi) banks
+        oh = (iop == ph_[None, :]).astype(f32)
+        return (jnp.dot(bp, oh, precision=_HI, preferred_element_type=f32),
+                jnp.dot(bd, oh, precision=_HI, preferred_element_type=f32))
+
+    def halfy(qv, phv, alin_v):
+        tp, td = tapvecs(phv)
+        kP, kD = _place2(qv, tp, td, T=T, sp2=sp2, L2p=L2p)
+        return mm(kP) + alin_v * mm(kD)
+
+    if packed or dir_ == 0:
+        # packed: every lane carries its own resolved variant (B lanes'
+        # alpha pre-offset by _pack); dir_ == 0: variant B never occurs
+        yall = halfy(q, ph, alin)
+        if dir_ == 0:
+            return yall
+        yB = pltpu.roll(yall, jnp.int32(L2p - L2), axis=1)
+        return jnp.where(rowf >= rowc[None, :], yB, yall)
+    yA = halfy(q, ph, alin)
+    qB, phB = _variant_b(q, ph, nphi, dir_)
+    yB = halfy(qB, phB, alin - jnp.float32(dir_))
+    return jnp.where(rowf >= rowc[None, :], yB, yA)
+
+
+def _farrow_tile(mm, pk, rowc, a0, rowf, cf, *, T: int, P1: int,
+                 nphi: int, sp2: int, L2: int, L2p: int, dir_: int,
+                 deps: float, packed: bool):
+    """One tile's Farrow output: psi-Horner with each power-slice K placed
+    and contracted one at a time. Variant B (unpacked) re-places at
+    q + dir_ with the SAME polynomial taps (the plan statically checks
+    the q_B placement bound)."""
+    f32 = jnp.float32
+    plin = a0[None, :] + rowf * jnp.float32(deps)
+    q = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
+
+    def horner(qv, psi):
+        acc = None
+        for p in range(P1 - 1, -1, -1):
+            k = _place1(qv, cf, T=T, sp2=sp2, L2p=L2p, row0=p * T)
+            G = mm(k)
+            acc = G if acc is None else acc * psi + G
+        return acc
+
+    if packed or dir_ == 0:
+        acc = horner(q, plin)
+        if dir_ == 0:
+            return acc
+        yB = pltpu.roll(acc, jnp.int32(L2p - L2), axis=1)
+        return jnp.where(rowf >= rowc[None, :], yB, acc)
+    accA = horner(q, plin)
+    accB = horner(q + jnp.int32(dir_), plin - jnp.float32(dir_ * nphi))
+    return jnp.where(rowf >= rowc[None, :], accB, accA)
 
 
 def _build_k_farrow(pk, cf, *, T: int, P1: int, sp2: int, L2p: int,
                     dir_: int, packed: bool = False):
     """(ksA + ksB) 2*P1 banded polynomial-slice tap matrices — or just P1
-    for a variant-PACKED plan, where each lane's q is already resolved
-    (Farrow's B variant shares the polynomial taps, so packing removes
-    the P1 variant-B rolls AND halves the matmul count)."""
+    for a variant-PACKED plan. NOT used by the production kernels (they
+    place-and-consume one matrix at a time — see the build-and-consume
+    note above; carrying all 2*P1 live measured 7.7x slower); kept as the
+    reference implementation for exp/exp18_gsb_ablate.py."""
     f32 = jnp.float32
     qA = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
     iou = jax.lax.broadcasted_iota(jnp.int32, (sp2, L2p), 0)
@@ -184,78 +233,18 @@ def _build_k_farrow(pk, cf, *, T: int, P1: int, sp2: int, L2p: int,
     return ksA + ksB
 
 
-def _arb_y(mm, kmats, rowc, a0, rowf, *, L2: int, L2p: int, dir_: int,
-           deps: float, packed: bool):
-    """Combine the arb matmul results into the (rows, L2p) output tile.
-
-    Packed plans evaluate ONE fused alpha-affine result over all lanes
-    (B lanes carry pre-offset alpha), then align the B columns onto the A
-    columns with one static lane roll and select by crossing row."""
-    f32 = jnp.float32
-    alin = a0[None, :] + rowf * jnp.float32(deps)
-    if dir_ == 0:
-        # no drift: variant B never occurs (single-variant build)
-        kP, kD = kmats
-        return mm(kP) + alin * mm(kD)
-    mask = rowf >= rowc[None, :]
-    if packed:
-        kP, kD = kmats
-        yall = mm(kP) + alin * mm(kD)
-        yB = pltpu.roll(yall, jnp.int32(L2p - L2), axis=1)
-        return jnp.where(mask, yB, yall)
-    kAp, kAd, kBp, kBd = kmats
-    GpA, GdA = mm(kAp), mm(kAd)
-    GpB, GdB = mm(kBp), mm(kBd)
-    return jnp.where(mask, GpB + (alin - jnp.float32(dir_)) * GdB,
-                     GpA + alin * GdA)
-
-
-def _farrow_y(mm, ks, rowc, a0, rowf, *, L2: int, L2p: int, P1: int,
-              nphi: int, dir_: int, deps: float, packed: bool):
-    """Combine the Farrow matmul results: psi-Horner per variant (or one
-    fused pass over packed lanes), crossing-row select."""
-    f32 = jnp.float32
-    plin = a0[None, :] + rowf * jnp.float32(deps)
-    if dir_ == 0 or packed:
-        acc = mm(ks[P1 - 1])
-        for p in range(P1 - 2, -1, -1):
-            acc = acc * plin + mm(ks[p])
-        if dir_ == 0:      # no drift: no crossing, no variant B
-            return acc
-        mask = rowf >= rowc[None, :]
-        yB = pltpu.roll(acc, jnp.int32(L2p - L2), axis=1)
-        return jnp.where(mask, yB, acc)
-    mask = rowf >= rowc[None, :]
-    psiB = plin - jnp.float32(dir_ * nphi)
-    accA = mm(ks[P1 - 1])
-    accB = mm(ks[2 * P1 - 1])
-    for p in range(P1 - 2, -1, -1):
-        accA = accA * plin + mm(ks[p])
-        accB = accB * psiB + mm(ks[P1 + p])
-    return jnp.where(mask, accB, accA)
-
-
 def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
                 JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
                 L2p: int, dir_: int, deps: float, three_pass: bool,
                 packed: bool = False):
     f32 = jnp.float32
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
-    pk = pk_ref[sub, :]                                   # (L2p,) int32
-    rowc = rowc_ref[sub, :]                               # (L2p,) f32
-    a0 = a0_ref[sub, :]                                   # (L2p,) f32
-    if packed or dir_ == 0:
-        kmats = _build_k_arb_packed(pk, bp_ref[...], bd_ref[...], T=T,
-                                    nphi=nphi, sp2=sp2, L2p=L2p)
-    else:
-        kmats = _build_k_arb(pk, bp_ref[...], bd_ref[...], T=T, nphi=nphi,
-                             sp2=sp2, L2p=L2p, dir_=dir_)
-
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)        # (JT+8, M2)
     mm = _make_mm(xcat, JT, M2, sp2, three_pass)
     rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
-    y = _arb_y(mm, kmats, rowc, a0, rowf, L2=L2, L2p=L2p, dir_=dir_,
-               deps=deps, packed=packed)
+    y = _arb_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
+                  rowf, bp_ref[...], bd_ref[...], T=T, nphi=nphi, sp2=sp2,
+                  L2=L2, L2p=L2p, dir_=dir_, deps=deps, packed=packed)
     o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
 
 
@@ -266,21 +255,15 @@ def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
     # Farrow: taps are a single polynomial in the continuous phase psi
     # (coeffs fitted across ALL banks, ops/pfb.pfb2pnfb), so the only
     # crossing is the window step (w crossing a multiple of D): variant B
-    # is q +- 1 with psi jumping by -+ nphi. Columns carry P1 power slices
-    # per variant; psi-Horner runs per row after the matmul.
+    # is q +- 1 with psi jumping by -+ nphi.
     f32 = jnp.float32
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
-    pk = pk_ref[sub, :]
-    rowc = rowc_ref[sub, :]
-    a0 = a0_ref[sub, :]                                   # psi0 (1-based)
-    ks = _build_k_farrow(pk, cf_ref[...], T=T, P1=P1, sp2=sp2, L2p=L2p,
-                         dir_=dir_, packed=packed or dir_ == 0)
-
     xcat = jnp.concatenate([xa[:], xb[:]], axis=0)
     mm = _make_mm(xcat, JT, M2, sp2, three_pass)
     rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
-    y = _farrow_y(mm, ks, rowc, a0, rowf, L2=L2, L2p=L2p, P1=P1,
-                  nphi=nphi, dir_=dir_, deps=deps, packed=packed)
+    y = _farrow_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
+                     rowf, cf_ref[...], T=T, P1=P1, nphi=nphi, sp2=sp2,
+                     L2=L2, L2p=L2p, dir_=dir_, deps=deps, packed=packed)
     o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
 
 
@@ -370,21 +353,14 @@ def _kernel_arb_batch(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref,
                       nphi: int, L2: int, L2p: int, dir_: int, deps: float,
                       packed: bool = False):
     sub = jax.lax.rem(pl.program_id(1), jnp.int32(8))
-    pk = pk_ref[sub, :]
-    rowc = rowc_ref[sub, :]
-    a0 = a0_ref[sub, :]
-    if packed or dir_ == 0:
-        kmats = _build_k_arb_packed(pk, bp_ref[...], bd_ref[...], T=T,
-                                    nphi=nphi, sp2=sp2, L2p=L2p)
-    else:
-        kmats = _build_k_arb(pk, bp_ref[...], bd_ref[...], T=T, nphi=nphi,
-                             sp2=sp2, L2p=L2p, dir_=dir_)
     JTP = JT + 8
     CBT = CB * JTP
     X0 = jnp.concatenate([xa[...], xb[...]], axis=1).reshape(CBT, M2)
     mm = _make_mm(X0, CBT, M2, sp2, True)
-    y = _arb_y(mm, kmats, rowc, a0, _batch_rowf(CB, JTP, L2p), L2=L2,
-               L2p=L2p, dir_=dir_, deps=deps, packed=packed)
+    y = _arb_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
+                  _batch_rowf(CB, JTP, L2p), bp_ref[...], bd_ref[...],
+                  T=T, nphi=nphi, sp2=sp2, L2=L2, L2p=L2p, dir_=dir_,
+                  deps=deps, packed=packed)
     for c in range(CB):
         o_ref[c, :, :] = y[c * JTP:c * JTP + JT, :L2].astype(o_ref.dtype)
 
@@ -394,18 +370,14 @@ def _kernel_farrow_batch(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
                          nphi: int, L2: int, L2p: int, P1: int, dir_: int,
                          deps: float, packed: bool = False):
     sub = jax.lax.rem(pl.program_id(1), jnp.int32(8))
-    pk = pk_ref[sub, :]
-    rowc = rowc_ref[sub, :]
-    a0 = a0_ref[sub, :]
-    ks = _build_k_farrow(pk, cf_ref[...], T=T, P1=P1, sp2=sp2, L2p=L2p,
-                         dir_=dir_, packed=packed or dir_ == 0)
     JTP = JT + 8
     CBT = CB * JTP
     X0 = jnp.concatenate([xa[...], xb[...]], axis=1).reshape(CBT, M2)
     mm = _make_mm(X0, CBT, M2, sp2, True)
-    y = _farrow_y(mm, ks, rowc, a0, _batch_rowf(CB, JTP, L2p), L2=L2,
-                  L2p=L2p, P1=P1, nphi=nphi, dir_=dir_, deps=deps,
-                  packed=packed)
+    y = _farrow_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
+                     _batch_rowf(CB, JTP, L2p), cf_ref[...], T=T, P1=P1,
+                     nphi=nphi, sp2=sp2, L2=L2, L2p=L2p, dir_=dir_,
+                     deps=deps, packed=packed)
     for c in range(CB):
         o_ref[c, :, :] = y[c * JTP:c * JTP + JT, :L2].astype(o_ref.dtype)
 
