@@ -132,8 +132,12 @@ def main():
 
     sidecar = {"device": dev.device_kind, "configs": []}
     # CPU runs (incl. the relay-down fallback) must not clobber the
-    # TPU-measured sidecar the docs/judge read
-    side_name = "BENCH_SIDECAR.json" if on_tpu else "BENCH_SIDECAR_CPU.json"
+    # TPU-measured sidecar the docs/judge read; neither must
+    # headline-only runs clobber the full-sweep record
+    side_name = ("BENCH_SIDECAR.json" if on_tpu
+                 else "BENCH_SIDECAR_CPU.json")
+    if os.environ.get("BENCH_HEADLINE_ONLY") is not None:
+        side_name = side_name.replace(".json", "_HEADLINE.json")
     side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              side_name)
 
@@ -195,6 +199,12 @@ def main():
         _write_sidecar()
         return entry
 
+    sidecar["note"] = (
+        "8M-input (32 MB) blocks: HBM-resident. Round-2 numbers used 1M "
+        "blocks whose chained-loop carry stayed VMEM-resident, overstating "
+        "decim/interp (54% -> honest 18.5% interp) and destabilizing the "
+        "headline (26-61 Gsps spread); see exp/exp13_zc_hbm.py.")
+
     # ---- headline: rational 147//160 --------------------------------- #
     paths = (("supercycle", "pallas", "concat") if on_tpu
              else ("supercycle",))
@@ -218,15 +228,19 @@ def main():
     # mid-sweep cannot lose the headline result; it is RE-printed as the
     # very last stdout line below because the driver's bounded tail capture
     # dropped it in round 2 (BENCH_r02.json parsed=null)
-    headline_json = json.dumps({
-        "metric": "rational_147_160_8M_f32_throughput",
-        "value": round(msps, 1),
-        "unit": "Msamples/s",
-        "vs_baseline": round(msps / BASELINE_MSPS, 1),
-        "chunked_vs_whole_rms": rms,
-        "oracle_rel_rms": head["oracle_rel_rms"],
-        "roofline_pct": head["roofline_pct"],
-    })
+    def headline_line(v):
+        return json.dumps({
+            "metric": "rational_147_160_8M_f32_throughput",
+            "value": round(v, 1),
+            "unit": "Msamples/s",
+            "vs_baseline": round(v / BASELINE_MSPS, 1),
+            "chunked_vs_whole_rms": rms,
+            "oracle_rel_rms": head["oracle_rel_rms"],
+            "roofline_pct": round(
+                100 * v / roofline_msps(float(ratio)), 1),
+        })
+
+    headline_json = headline_line(msps)
     print(headline_json, flush=True)
 
     # ---- full BASELINE config sweep ---------------------------------- #
@@ -297,6 +311,24 @@ def main():
         except Exception as e:  # noqa: BLE001
             log("scaling bench failed:", e)
             sidecar["scaling"] = {"error": str(e)}
+
+    # headline = median of 3 PACE-SEPARATED measurements: the relay/device
+    # pace drifts over minutes (identical programs measured 42-51 Gsps
+    # across sessions), so the first run and two re-runs separated by the
+    # ~10-minute sweep bound the drift; the median is the reported value.
+    if on_tpu and head.get("path") == "pallas":
+        vals = [msps]
+        for _ in range(2):
+            sec = chained_seconds_per_call(params, state0, x, "pallas",
+                                           repeat=REPEAT, iters=6)
+            vals.append(x.size / sec / 1e6)
+        msps = float(np.median(vals))
+        log(f"headline separated runs {[round(v) for v in vals]} "
+            f"-> median {msps:.0f} Msps")
+        head["msps_in_median3"] = round(msps, 1)
+        head["roofline_pct_median3"] = round(
+            100 * msps / roofline_msps(float(ratio)), 1)
+        headline_json = headline_line(msps)
 
     _write_sidecar()
     log(f"sidecar written: {side_path}")

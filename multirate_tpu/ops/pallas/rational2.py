@@ -434,23 +434,20 @@ def zc_geometry(L: int, M: int, n_out: int, xlen: int, JT: int | None = None,
     (zc_s(dtype)). num_tiles - T_ok <= 1; the leftover tile (if any) runs
     as the aliased tail call.
 
-    Quantized modes (bf16 S=16, int8 S=32): when the preferred tile
-    exceeds the block's input rows, the tile shrinks (S-quantized
-    descending scan) until the grid covers the block, so small blocks
-    still run zero-copy — those modes' precision is set by the operand
-    dtype, so a smaller tile changes nothing observable (int8 is exact
-    regardless). f32 keeps the single preferred tile (its fallbacks run
-    the HIGHEST-precision v1/grouped kernels; silently swapping small
-    blocks onto the 3-pass zc path would change their precision
-    class)."""
+    When the preferred tile exceeds the block's input rows — or leaves
+    more than one leftover tile (an n_max-ceiling row can push J_total
+    one past R) — the tile shrinks (S-quantized descending scan) until
+    the grid covers the block. Precision class is unaffected by the
+    tile size for every mode: f32 runs the same 3-pass split as its
+    grouped-kernel fallback, and the quantized modes' precision is set
+    by the operand dtype (int8 is exact regardless)."""
     R = xlen // M
     if JT is not None:
         cands = [JT]
     else:
         jt = ZC_JT_OVERRIDE or max(S, min(256, (131072 // M) // S * S))
         jt = -(-jt // S) * S
-        cands = ([jt] if S == ZC_S
-                 else list(range(jt, S - 1, -S)))
+        cands = list(range(jt, S - 1, -S))
     J_total = -(-n_out // L)
     for jt in cands:
         num_tiles = -(-J_total // jt)

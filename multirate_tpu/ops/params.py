@@ -185,7 +185,7 @@ class FIRStandard:
     def create(cls, h) -> "FIRStandard":
         h = np.asarray(h)
         T = h.shape[0]
-        g = _pick_group(1, 1, h_min=max(T - 1, 128 + T + 1 + 24))
+        g = _pick_group(1, 1, h_min=max(T - 1, 128 + T + 1 + 24 + 127))
         bank = h[::-1].reshape(-1, 1)
         kh, kl = _zc_fields(np.asarray(bank, copy=True), 1, 1, g, 1)
         return cls(taps_rev=jnp.asarray(h[::-1].copy()),
@@ -226,7 +226,8 @@ class FIRInterpolator:
         bank = _pfb.taps2pfb(h, interpolation)
         T = bank.shape[0]
         g = _pick_group(interpolation, 1,
-                        h_min=max(T - 1, -(-128 // interpolation) + T + 25))
+                        h_min=max(T - 1,
+                                  -(-128 // interpolation) + T + 25 + 127))
         kh, kl = _zc_fields(np.asarray(bank), interpolation, 1, g, 1)
         return cls(pfb=jnp.asarray(bank),
                    k_super=_k_super(bank, interpolation, 1, g),
@@ -267,8 +268,8 @@ class FIRDecimator:
         h = np.asarray(h)
         T = h.shape[0]
         g = _pick_group(1, decimation,
-                        h_min=max(T - 1,
-                                  128 * decimation + T + decimation + 25))
+                        h_min=max(T - 1, 128 * decimation + T
+                                  + decimation + 25 + 127))
         bank = h[::-1].reshape(-1, 1)
         # decimator deficit d0-1 ranges over [0, M): one slab each
         kh, kl = _zc_fields(np.asarray(bank, copy=True), 1, decimation, g,
@@ -324,7 +325,7 @@ class FIRRational:
         g = _pick_group(
             interpolation, decimation,
             h_min=max(T - 1, -(-128 * decimation // interpolation) + T
-                      + -(-decimation // interpolation) + 25))
+                      + -(-decimation // interpolation) + 25 + 127))
         slack = -(-decimation // interpolation) + 1  # = _max_deficit
         kh, kl = _zc_fields(np.asarray(bank), interpolation, decimation, g,
                             slack)
