@@ -149,7 +149,7 @@ def _kernel(x_a, x_b, *rest, JT: int, gM: int, groups: tuple,
     def mm(xs, r0, r1_, c0, c1):
         """xs @ K[r0:r1_, c0:c1] at the configured precision."""
         if three_pass:
-            xh16, xl16 = prec.split_bf16_trunc(xs)
+            xh16, xl16 = _ksplit(xs)
             kh = kh_ref[r0:r1_, c0:c1]
             kl = kl_ref[r0:r1_, c0:c1]
             acc = jnp.dot(xh16, kh, preferred_element_type=f32)
@@ -246,7 +246,7 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(x2d, x2d, *k_args)
-        return out.reshape(num_tiles * JT * L)[:n_out]
+        return out.reshape(num_tiles * JT * L)
 
     # One single-grid pallas call per tile, with CONSTANT block offsets in
     # the index maps (sidesteps the slow-grid compile at the cost of one
@@ -272,7 +272,7 @@ def rational_supercycle_grouped(x, K, L: int, M: int, n_out: int,
         )(x2d, x2d, *k_args)
         tiles.append(out_t)
     out = tiles[0] if num_tiles == 1 else jnp.concatenate(tiles, axis=0)
-    return out.reshape(num_tiles * JT * L)[:n_out]
+    return out.reshape(num_tiles * JT * L)
 
 
 # --------------------------------------------------------------------------- #
@@ -323,10 +323,17 @@ def band_groups_zc(T: int, L: int, M: int, group: int, h_min: int,
     128-multiple lane slice of a (rows-rolled) tile is free, while a
     dynamic-width lane roll is a full-tile VPU shuffle (measured: the 5
     per-group lane rolls cost ~as much as the matmuls). The price is up
-    to lane_align-1 extra leading K rows per group (~60% wider matmuls
-    for the 147//160 headline) — still far below the HBM-bound budget.
-    Returns None if the geometry is inapplicable (h_min > gM, or a group
-    span would exceed one row width gM).
+    to lane_align-1 extra leading K rows per group — mitigated by the DP
+    boundary choice below. Returns None if the geometry is inapplicable
+    (h_min > gM, or a group span would exceed one row width gM).
+
+    With lane_align=128 the group COLUMN boundaries are chosen by dynamic
+    programming to minimize the total number of 128-row contraction
+    chunks (the v4 body issues ceil(span/128) chunk matmuls per group,
+    each a full MXU pass regardless of how many of its leading rows the
+    128-flooring wasted): fixed 128-col boundaries cost 13 chunk passes
+    on the 147//160 headline, the DP partition 11 (-15% MXU work). Ties
+    prefer fewer groups (narrower K stripes, fewer output stores).
     """
     gL, gM = group * L, group * M
     if h_min > gM:
@@ -334,15 +341,49 @@ def band_groups_zc(T: int, L: int, M: int, group: int, h_min: int,
     c = np.arange(gL)
     off = (c // L) * M + ((c % L) * M) // L
     p = gM + off - h_min
-    groups = []
-    for c0 in range(0, gL, cols_per_group):
-        c1 = min(c0 + cols_per_group, gL)
+
+    def mk(c0, c1):
         b8 = (int(p[c0:c1].min()) // lane_align) * lane_align
         hi = int(p[c0:c1].max()) + 1 + T + shift_slack
         span = -(-(hi - b8) // 8) * 8
-        if span > gM:  # segment loop supports 2 rows max per group
+        return (c0, c1, b8, span)
+
+    if lane_align == 128 and ZC_DP_GROUPS:
+        # DP over contiguous partitions, width <= cols_per_group.
+        # cost(group) = (chunks, 1): lexicographic (total chunk passes,
+        # then group count). p is nondecreasing in c, so min = p[c0].
+        INF = (1 << 30, 1 << 30)
+        f = [INF] * (gL + 1)
+        nxt = [0] * (gL + 1)
+        f[gL] = (0, 0)
+        for c0 in range(gL - 1, -1, -1):
+            b8 = (int(p[c0]) // 128) * 128
+            best, bc1 = INF, 0
+            for c1 in range(c0 + 1, min(c0 + cols_per_group, gL) + 1):
+                hi = int(p[c1 - 1]) + 1 + T + shift_slack
+                span = -(-(hi - b8) // 8) * 8
+                if span > gM:
+                    break
+                nch = -(-span // 128)
+                v = (nch + f[c1][0], 1 + f[c1][1])
+                if v < best:
+                    best, bc1 = v, c1
+            f[c0], nxt[c0] = best, bc1
+        if f[0][0] >= (1 << 30):
             return None
-        groups.append((c0, c1, b8, span))
+        groups, c0 = [], 0
+        while c0 < gL:
+            c1 = nxt[c0]
+            groups.append(mk(c0, c1))
+            c0 = c1
+        return tuple(groups)
+
+    groups = []
+    for c0 in range(0, gL, cols_per_group):
+        g = mk(c0, min(c0 + cols_per_group, gL))
+        if g[3] > gM:  # segment loop supports 2 rows max per group
+            return None
+        groups.append(g)
     return tuple(groups)
 
 
@@ -373,6 +414,18 @@ def zc_groups(T: int, L: int, M: int, group: int, h_min: int,
 # both at kernel construction AND around the timed call (the plan is
 # re-derived at trace time).
 ZC_FORCE_ALIGN8: bool = False
+
+# Experiment knobs: DP group boundaries (vs fixed 128-col), and the
+# in-kernel data split (split_bf16_kernel vs split_bf16_trunc). Same
+# trace-time caveat as ZC_FORCE_ALIGN8.
+ZC_DP_GROUPS: bool = True
+ZC_FAST_SPLIT: bool = True
+
+
+def _ksplit(v):
+    """Data-side (hi, lo) bf16 split used inside the zc kernel bodies."""
+    return (prec.split_bf16_kernel(v) if ZC_FAST_SPLIT
+            else prec.split_bf16_trunc(v))
 
 
 def _v4_ok(gM: int, groups: tuple) -> bool:
@@ -488,7 +541,7 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
     def mm(xs, r0, r1_, gi, w):
         cs = gi * 128
         if three_pass:
-            xh16, xl16 = prec.split_bf16_trunc(xs)
+            xh16, xl16 = _ksplit(xs)
             kh = kh_ref[0, r0:r1_, cs:cs + w]
             kl = kl_ref[0, r0:r1_, cs:cs + w]
             acc = jnp.dot(xh16, kh, preferred_element_type=f32)
@@ -591,7 +644,7 @@ def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
                 xs = pltpu.roll(strip(lm), jnp.int32(total - u),
                                 axis=0)[:JT]
             if three_pass:
-                chunks[key] = prec.split_bf16_trunc(xs.astype(f32))
+                chunks[key] = _ksplit(xs.astype(f32))
             else:
                 chunks[key] = xs.astype(mm_dt)
         return chunks[key]
@@ -725,7 +778,10 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
     trailing stream samples; k_stack: (k_hi, k_lo) compressed bf16 stacks
     (three_pass) or one f32/bf16 stack (bf16 x runs the single-pass bf16
     MXU matmul at S = 16); dsel: deficit slab index d0-1.
-    Entry phase must be 1 (callers cond on it). Returns flat (n_out,).
+    Entry phase must be 1 (callers cond on it). Returns the flat
+    TILE-PADDED grid output (num_tiles*JT*L,) — entries past n_out are
+    unspecified; callers use their count (slicing to n_out here would
+    cost a full extra HBM read+write pass over y).
     """
     S = zc_s(x.dtype)
     odt = jnp.int32 if x.dtype == jnp.int8 else x.dtype
@@ -789,7 +845,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                 dimension_semantics=("parallel",)),
             interpret=interpret,
         )(dsel1, h2d, x2d, x2d, x2d, xt2d, *k_args)
-        return out.reshape(num_tiles * JT * L)[:n_out]
+        return out.reshape(num_tiles * JT * L)
 
     kern = functools.partial(_kernel_zc_main, JT=JT, gM=M, groups=groups,
                              three_pass=three_pass)
@@ -847,4 +903,4 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
             input_output_aliases={len(k_args) + 2: 0},
             interpret=interpret,
         )(dsel1, xt2d, *k_args, out)
-    return out.reshape(num_tiles * JT * L)[:n_out]
+    return out.reshape(num_tiles * JT * L)

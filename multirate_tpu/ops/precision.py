@@ -55,6 +55,25 @@ def split_bf16(v):
     return hi_f32.astype(jnp.bfloat16), (v - hi_f32).astype(jnp.bfloat16)
 
 
+def split_bf16_kernel(v):
+    """(hi, lo) bf16 split for use INSIDE Pallas kernel bodies only:
+    hi = hardware RTNE demote, lo = (v - hi) demoted.
+
+    4 vreg-ops (demote, promote, sub, demote) vs split_bf16_trunc's 6,
+    and one bit tighter (|lo| <= 2^-9 |v|, trunc 2^-8). This is the
+    "naive" round-based split that is UNSOUND at the XLA level (the
+    compile service's --xla_allow_excess_precision lets XLA cancel the
+    demote/promote pair and fold lo to 0 — ops/precision.py:split_bf16)
+    — but Mosaic's lowering does no such cancellation: verified
+    empirically on v5e (lo nonzero on 100% of random lanes, max |lo|/|v|
+    = 2^-8.95, hi+lo reconstruction error 2^-17.2). bench.py's
+    end-to-end oracle RMS check (budget 1e-4; a folded lo measures
+    1.4e-3) is the regression guard — interpret-mode tests cannot catch
+    a Mosaic-level folding. NEVER use outside a Pallas kernel body."""
+    hi = v.astype(jnp.bfloat16)
+    return hi, (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
 def split_bf16_trunc(v):
     """Cheap (hi, lo) bf16 split: hi = v TRUNCATED to bf16 (mantissa mask,
     no round-to-nearest), lo = v - hi.
