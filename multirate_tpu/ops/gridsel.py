@@ -130,21 +130,25 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
         # was previously unaccounted), x tiles, and (JT, L2p) row temps.
         P1 = (polyorder + 1) if (farrow and polyorder is not None) else 1
         packed = 2 * L2 <= L2p and eps != 0
-        # K matrices built (placement stages) / contracted (sp2-deep
-        # 3-pass matmuls): packing folds the B variant into the lane
-        # padding, halving both for arb and the matmul count for Farrow
+        # K matrices built (placement stages) / contracted (3-pass
+        # matmuls over the contiguous overlap-tiled window): packing
+        # folds the B variant into the lane padding, halving both for
+        # arb and the matmul count for Farrow
         n_k = (P1 if farrow else 2) * (1 if (packed or farrow) else 2)
         n_mm = (P1 if farrow else 2) * (1 if packed else 2)
+        M2p = -(-sp2 // 128) * 128
         vmem = 4 * (max(n_k, n_mm) * sp2 * L2p
                     + (-(-(P1 * T) // 8) * 8) * L2p * (1 if farrow else 0)
-                    + 2 * (jt + 8) * M2
+                    + 2 * (jt + 8) * M2p
                     + 6 * jt * L2p)
         if vmem > 12 * (1 << 20):
             continue
         # cost per output, MXU MACs normalized to VPU ops (~25x thruput):
-        # 3-pass matmuls contract the full sp2 rows for n_mm column
-        # variants; placement is T compare/select stages per built K
-        mxu = 3.0 * sp2 * n_mm * (L2p / L2) / 25.0
+        # 3-pass matmuls contract ceil128(sp2) rows (the MXU contraction
+        # quantum; the overlap tiling made the window one chunked slice)
+        # for n_mm column variants; placement is T compare/select stages
+        # per built K
+        mxu = 3.0 * M2p * n_mm * (L2p / L2) / 25.0
         vpu = 2.0 * T * n_k * sp2 * L2p / (jt * L2)
         cost = mxu + vpu
         if best_cost is None or cost < best_cost:
@@ -236,15 +240,29 @@ def _pack(meta: GridselMeta, nphi: int, delta_fx: int, u0, d0,
 
 def _tile_x(xext, meta: GridselMeta, num_tiles: int,
             jt: int | None = None):
-    """Left/right-padded (..., R, M2) view of xext for the kernel."""
+    """Left/right-padded OVERLAP-tiled (..., R, M2p) view of xext: row j
+    holds samples [j*M2, j*M2 + M2p) with M2p = ceil128(sp2) >= sp2, so
+    the kernel's whole band window is one contiguous 128-aligned lane
+    slice of its row — no in-kernel row roll, no two-segment matmul.
+    Costs M2p/M2 expansion on the tiling pass (gridsel is VPU/MXU-bound
+    at ~7-15% of the HBM roofline, so the extra traffic is free)."""
     L2, M2 = meta.L2, meta.M2
+    M2p = -(-meta.sp2 // 128) * 128
     R = num_tiles * (jt or meta.JT) + 8
     lead = xext.shape[:-1]
-    pad_r = R * M2 - PAD_L - xext.shape[-1]
+    pad_r = R * M2 + M2p - PAD_L - xext.shape[-1]
     zl = jnp.zeros((*lead, PAD_L), xext.dtype)
     zr = jnp.zeros((*lead, max(pad_r, 0)), xext.dtype)
-    xq = jnp.concatenate([zl, xext, zr], axis=-1)[..., :R * M2]
-    return xq.reshape(*lead, R, M2)
+    xq = jnp.concatenate([zl, xext, zr], axis=-1)[..., :R * M2 + M2p]
+    rows = xq[..., :R * M2].reshape(*lead, R, M2)
+    # overlap lanes [M2, M2p): the next row's first M2p - M2 samples
+    nxt = xq[..., M2:R * M2 + M2].reshape(*lead, R, M2)
+    if M2p - M2 <= M2:
+        ovl = nxt[..., :M2p - M2]
+    else:
+        nx2 = xq[..., 2 * M2:R * M2 + 2 * M2].reshape(*lead, R, M2)
+        ovl = jnp.concatenate([nxt, nx2[..., :M2p - 2 * M2]], axis=-1)
+    return jnp.concatenate([rows, ovl], axis=-1)
 
 
 def _geometry(meta: GridselMeta, n_max: int, jt: int | None = None):
@@ -258,26 +276,25 @@ def _geometry(meta: GridselMeta, n_max: int, jt: int | None = None):
 def _batch_dims(meta: GridselMeta, C: int, n_k: int):
     """(CB, jt_b) for the batched-channel kernel, or None.
 
-    jt_b + 8 must be a power of two (the kernel's row->channel AND-mask
-    decomposition) and jt_b <= meta.JT (one-crossing bound). CB is sized
-    so the kernel's VMEM majors — the collapsed (CB*(jt_b+8), M2) operand
-    with its bf16 hi/lo splits and roll (~16 B/row/lane), ~5 (CBT, L2p)
-    f32 accumulators, the double-buffered x/out blocks, and the n_k
-    (sp2, L2p) tap matrices — stay under ~10 MiB."""
+    jt_b must be a power of two (the kernel's row->channel AND-mask
+    decomposition) and <= meta.JT (one-crossing bound). CB is sized so
+    the kernel's VMEM majors — the collapsed (CB*jt_b, M2p) operand with
+    its bf16 hi/lo splits (~12 B/row/lane), ~5 (CBT, L2p) f32
+    accumulators, the double-buffered overlap-tiled x and out blocks,
+    and the n_k (sp2, L2p) tap matrices — stay under ~10 MiB."""
     L2, M2, _, JT, sp2, L2p, _, _ = meta
-    per_row = 16 * M2 + 20 * L2p + 8 * (M2 + L2)
+    M2p = -(-sp2 // 128) * 128
+    per_row = 20 * M2p + 20 * L2p + 8 * L2
     fixed = 4 * n_k * sp2 * L2p
     cbt = max(0, (10 * (1 << 20) - fixed)) // per_row
     best = None
-    for jtp in (256, 128, 64, 32, 16):
-        jt_b = jtp - 8
+    for jt_b in (256, 128, 64, 32, 16):
         if jt_b > JT:
             continue
-        cb = min(64, C, (cbt // jtp // 8) * 8)
+        cb = min(64, C, (cbt // jt_b // 8) * 8)
         if cb < 8:
             continue
-        # score: outputs amortizing one K build, minus spill-row waste
-        score = cb * jt_b
+        score = cb * jt_b  # outputs amortizing one K build
         if best is None or score > best[0]:
             best = (score, cb, jt_b)
     return None if best is None else (best[1], best[2])

@@ -48,33 +48,31 @@ _HI = jax.lax.Precision.HIGHEST
 _QBITS = 10          # window offset q within the 2-row span (< 1024)
 
 
-def _make_mm(xcat, JT: int, M2: int, sp2: int, three_pass: bool):
-    """K -> (JT, cols) contraction of the 2-row-segment window. With
-    three_pass, x is bf16-hi/lo split once per tile and each K is split
-    at use (the zc kernel's 3-pass trick: ~2^-16 relative error, well
-    inside the 1e-4 budget, at half the MXU passes of HIGHEST)."""
+def _make_mm(xa, JT: int, M2: int, sp2: int, three_pass: bool):
+    """K -> (JT, cols) contraction of the tile's band window.
+
+    ``xa`` rows are host-tiled with OVERLAP (ops/gridsel._tile_x): row j
+    holds x[j*M2 : j*M2 + M2p] with M2p = ceil128(sp2) >= sp2, so the
+    whole two-stream-row band window is ONE contiguous, 128-lane-aligned
+    slice — no in-kernel row roll, no two-segment matmul (the second
+    segment cost a full extra MXU pass per split: ceil128(M2) +
+    ceil128(sp2-M2) vs ceil128(sp2)). With three_pass, x is bf16-hi/lo
+    split once per tile and each K is split at use (the zc kernel's
+    3-pass trick: ~2^-16 relative error, at half the MXU passes of
+    HIGHEST)."""
     f32 = jnp.float32
-    v1 = pltpu.roll(xcat, jnp.int32(xcat.shape[0] - 1), axis=0)
-    s2 = sp2 - M2
     if not three_pass:
         def mm(K):
-            acc = jnp.dot(xcat[:JT, :], K[:M2], precision=_HI,
-                          preferred_element_type=f32)
-            return acc + jnp.dot(v1[:JT, :s2], K[M2:sp2], precision=_HI,
-                                 preferred_element_type=f32)
+            return jnp.dot(xa[:JT, :sp2], K[:sp2], precision=_HI,
+                           preferred_element_type=f32)
         return mm
-    x0h, x0l = prec.split_bf16_trunc(xcat[:JT, :])
-    x1h, x1l = prec.split_bf16_trunc(v1[:JT, :s2])
+    x0h, x0l = prec.split_bf16_kernel(xa[:JT, :sp2])
 
     def mm(K):
-        kh, kl = prec.split_bf16_trunc(K[:M2])
-        acc = (jnp.dot(x0h, kh, preferred_element_type=f32)
-               + jnp.dot(x0h, kl, preferred_element_type=f32)
-               + jnp.dot(x0l, kh, preferred_element_type=f32))
-        kh2, kl2 = prec.split_bf16_trunc(K[M2:sp2])
-        return (acc + jnp.dot(x1h, kh2, preferred_element_type=f32)
-                + jnp.dot(x1h, kl2, preferred_element_type=f32)
-                + jnp.dot(x1l, kh2, preferred_element_type=f32))
+        kh, kl = prec.split_bf16_kernel(K[:sp2])
+        return (jnp.dot(x0h, kh, preferred_element_type=f32)
+                + jnp.dot(x0h, kl, preferred_element_type=f32)
+                + jnp.dot(x0l, kh, preferred_element_type=f32))
     return mm
 
 
@@ -233,14 +231,13 @@ def _build_k_farrow(pk, cf, *, T: int, P1: int, sp2: int, L2p: int,
     return ksA + ksB
 
 
-def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
+def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, bp_ref, bd_ref, o_ref, *,
                 JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
                 L2p: int, dir_: int, deps: float, three_pass: bool,
                 packed: bool = False):
     f32 = jnp.float32
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
-    xcat = jnp.concatenate([xa[:], xb[:]], axis=0)        # (JT+8, M2)
-    mm = _make_mm(xcat, JT, M2, sp2, three_pass)
+    mm = _make_mm(xa[...], JT, M2, sp2, three_pass)
     rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
     y = _arb_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
                   rowf, bp_ref[...], bd_ref[...], T=T, nphi=nphi, sp2=sp2,
@@ -248,7 +245,7 @@ def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref, o_ref, *,
     o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
 
 
-def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
+def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, cf_ref, o_ref, *,
                    JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
                    L2p: int, P1: int, dir_: int, deps: float,
                    three_pass: bool, packed: bool = False):
@@ -258,8 +255,7 @@ def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
     # is q +- 1 with psi jumping by -+ nphi.
     f32 = jnp.float32
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
-    xcat = jnp.concatenate([xa[:], xb[:]], axis=0)
-    mm = _make_mm(xcat, JT, M2, sp2, three_pass)
+    mm = _make_mm(xa[...], JT, M2, sp2, three_pass)
     rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
     y = _farrow_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
                      rowf, cf_ref[...], T=T, P1=P1, nphi=nphi, sp2=sp2,
@@ -268,10 +264,9 @@ def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
 
 
 def _launch(kern, packs, xblocks, banks, meta, num_tiles, interpret):
-    JT, M2, sp2, L2, L2p = meta
+    JT, M2p, L2, L2p = meta
     pk, rowc, a0 = packs
     x2d = xblocks
-    rps = JT // 8
     g8 = lambda j: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
     bank_specs = [pl.BlockSpec(b.shape, lambda j: (j * 0, j * 0))
                   for b in banks]
@@ -283,21 +278,21 @@ def _launch(kern, packs, xblocks, banks, meta, num_tiles, interpret):
             pl.BlockSpec((8, L2p), g8),
             pl.BlockSpec((8, L2p), g8),
             pl.BlockSpec((8, L2p), g8),
-            pl.BlockSpec((JT, M2), lambda j: (j, j * 0)),
-            pl.BlockSpec((8, M2), lambda j: ((j + 1) * rps, j * 0)),
+            pl.BlockSpec((JT, M2p), lambda j: (j, j * 0)),
             *bank_specs,
         ],
         out_specs=pl.BlockSpec((JT, L2), lambda j: (j, j * 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(pk, rowc, a0, x2d, x2d, *banks)
+    )(pk, rowc, a0, x2d, *banks)
 
 
 def gridsel_resample_arb(x2d, pk, rowc, a0, bp, bd, *, JT, M2, sp2, T,
                          nphi, L2, L2p, dir_, deps, num_tiles,
                          three_pass=True, packed=False, interpret=False):
-    """One-channel arbitrary resample over pre-tiled ``x2d`` (R, M2).
+    """One-channel arbitrary resample over OVERLAP-tiled ``x2d`` (R, M2p)
+    (row j = x[j*M2 : j*M2 + M2p], M2p = ceil128(sp2) — ops/gridsel._tile_x).
 
     pk/rowc/a0: (tiles8, L2p) per-(tile, column) packed indices / exact
     crossing rows / alpha at tile start (see ops/gridsel._pack).
@@ -308,20 +303,20 @@ def gridsel_resample_arb(x2d, pk, rowc, a0, bp, bd, *, JT, M2, sp2, T,
                              deps=deps, three_pass=three_pass,
                              packed=packed)
     return _launch(kern, (pk, rowc, a0), x2d, (bp, bd),
-                   (JT, M2, sp2, L2, L2p), num_tiles, interpret)
+                   (JT, x2d.shape[-1], L2, L2p), num_tiles, interpret)
 
 
 def gridsel_resample_farrow(x2d, pk, rowc, a0, cf, *, JT, M2, sp2, T,
                             nphi, L2, L2p, P1, dir_, deps, num_tiles,
                             three_pass=True, packed=False,
                             interpret=False):
-    """One-channel Farrow resample over pre-tiled ``x2d`` (R, M2)."""
+    """One-channel Farrow resample over overlap-tiled ``x2d`` (R, M2p)."""
     kern = functools.partial(_kernel_farrow, JT=JT, M2=M2, sp2=sp2, T=T,
                              nphi=nphi, L2=L2, L2p=L2p, P1=P1, dir_=dir_,
                              deps=deps, three_pass=three_pass,
                              packed=packed)
     return _launch(kern, (pk, rowc, a0), x2d, (cf,),
-                   (JT, M2, sp2, L2, L2p), num_tiles, interpret)
+                   (JT, x2d.shape[-1], L2, L2p), num_tiles, interpret)
 
 
 # --------------------------------------------------------------------------- #
@@ -330,13 +325,13 @@ def gridsel_resample_farrow(x2d, pk, rowc, a0, cf, *, JT, M2, sp2, T,
 # T compare-placement stages, which dominate the single-channel kernel and
 # are replicated per channel under vmap — is done ONCE and amortized: only
 # the x-window matmuls scale with C. Channels are stacked on the matmul's
-# ROW axis: the (CB, JT, M2) + (CB, 8, M2) blocks collapse (leading-dim
-# reshape, a pure relabeling for 8-multiple rows) to one (CB*(JT+8), M2)
-# operand, so each MXU pass runs at CB*(JT+8) rows instead of C separate
-# (JT, M2) calls. JT+8 must be a power of two: the output row's channel
-# decomposition r = c*(JT+8) + rowj is then one AND mask; each channel's 8
-# spill rows (the cross-row segment of the NEXT channel leaks into them via
-# the single global sublane roll) are simply never written out.
+# ROW axis: the (CB, JT, M2p) overlap-tiled block collapses (leading-dim
+# reshape, a pure relabeling) to one (CB*JT, M2p) operand, so each MXU
+# pass runs at CB*JT rows instead of C separate (JT, M2p) calls. JT must
+# be a power of two: the output row's channel decomposition r = c*JT +
+# rowj is then one AND mask. (The pre-overlap design needed 8 spill rows
+# per channel for the cross-row sublane roll; the overlap tiling removed
+# the roll and the spill rows with it.)
 # --------------------------------------------------------------------------- #
 
 
@@ -348,45 +343,42 @@ def _batch_rowf(CB, JTP, L2p):
         jnp.int32(JTP - 1)).astype(jnp.float32)
 
 
-def _kernel_arb_batch(pk_ref, rowc_ref, a0_ref, xa, xb, bp_ref, bd_ref,
+def _kernel_arb_batch(pk_ref, rowc_ref, a0_ref, xa, bp_ref, bd_ref,
                       o_ref, *, CB: int, JT: int, M2: int, sp2: int, T: int,
                       nphi: int, L2: int, L2p: int, dir_: int, deps: float,
                       packed: bool = False):
     sub = jax.lax.rem(pl.program_id(1), jnp.int32(8))
-    JTP = JT + 8
-    CBT = CB * JTP
-    X0 = jnp.concatenate([xa[...], xb[...]], axis=1).reshape(CBT, M2)
-    mm = _make_mm(X0, CBT, M2, sp2, True)
+    M2p = xa.shape[-1]
+    X0 = xa[...].reshape(CB * JT, M2p)
+    mm = _make_mm(X0, CB * JT, M2, sp2, True)
     y = _arb_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
-                  _batch_rowf(CB, JTP, L2p), bp_ref[...], bd_ref[...],
+                  _batch_rowf(CB, JT, L2p), bp_ref[...], bd_ref[...],
                   T=T, nphi=nphi, sp2=sp2, L2=L2, L2p=L2p, dir_=dir_,
                   deps=deps, packed=packed)
     for c in range(CB):
-        o_ref[c, :, :] = y[c * JTP:c * JTP + JT, :L2].astype(o_ref.dtype)
+        o_ref[c, :, :] = y[c * JT:(c + 1) * JT, :L2].astype(o_ref.dtype)
 
 
-def _kernel_farrow_batch(pk_ref, rowc_ref, a0_ref, xa, xb, cf_ref, o_ref, *,
+def _kernel_farrow_batch(pk_ref, rowc_ref, a0_ref, xa, cf_ref, o_ref, *,
                          CB: int, JT: int, M2: int, sp2: int, T: int,
                          nphi: int, L2: int, L2p: int, P1: int, dir_: int,
                          deps: float, packed: bool = False):
     sub = jax.lax.rem(pl.program_id(1), jnp.int32(8))
-    JTP = JT + 8
-    CBT = CB * JTP
-    X0 = jnp.concatenate([xa[...], xb[...]], axis=1).reshape(CBT, M2)
-    mm = _make_mm(X0, CBT, M2, sp2, True)
+    M2p = xa.shape[-1]
+    X0 = xa[...].reshape(CB * JT, M2p)
+    mm = _make_mm(X0, CB * JT, M2, sp2, True)
     y = _farrow_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
-                     _batch_rowf(CB, JTP, L2p), cf_ref[...], T=T, P1=P1,
+                     _batch_rowf(CB, JT, L2p), cf_ref[...], T=T, P1=P1,
                      nphi=nphi, sp2=sp2, L2=L2, L2p=L2p, dir_=dir_,
                      deps=deps, packed=packed)
     for c in range(CB):
-        o_ref[c, :, :] = y[c * JTP:c * JTP + JT, :L2].astype(o_ref.dtype)
+        o_ref[c, :, :] = y[c * JT:(c + 1) * JT, :L2].astype(o_ref.dtype)
 
 
 def _launch_batch(kern, packs, x3d, banks, meta_t, num_tiles, CB, interpret):
-    JT, M2, sp2, L2, L2p = meta_t
+    JT, M2p, L2, L2p = meta_t
     pk, rowc, a0 = packs
     C = x3d.shape[0]
-    rps = JT // 8
     p8 = lambda cb, j: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
     bank_specs = [pl.BlockSpec(b.shape, lambda cb, j: (j * 0, j * 0))
                   for b in banks]
@@ -399,9 +391,7 @@ def _launch_batch(kern, packs, x3d, banks, meta_t, num_tiles, CB, interpret):
             pl.BlockSpec((8, L2p), p8),
             pl.BlockSpec((8, L2p), p8),
             pl.BlockSpec((8, L2p), p8),
-            pl.BlockSpec((CB, JT, M2), lambda cb, j: (cb, j, j * 0)),
-            pl.BlockSpec((CB, 8, M2),
-                         lambda cb, j: (cb, (j + 1) * rps, j * 0)),
+            pl.BlockSpec((CB, JT, M2p), lambda cb, j: (cb, j, j * 0)),
             *bank_specs,
         ],
         out_specs=pl.BlockSpec((CB, JT, L2),
@@ -409,32 +399,34 @@ def _launch_batch(kern, packs, x3d, banks, meta_t, num_tiles, CB, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(pk, rowc, a0, x3d, x3d, *banks)
+    )(pk, rowc, a0, x3d, *banks)
 
 
 def gridsel_resample_arb_batch(x3d, pk, rowc, a0, bp, bd, *, CB, JT, M2,
                                sp2, T, nphi, L2, L2p, dir_, deps,
                                num_tiles, packed=False, interpret=False):
-    """Batched arbitrary resample over pre-tiled ``x3d`` (C, R, M2); all
-    channels share the packed per-tile index state. C % CB == 0 and
-    (JT + 8) a power of two (callers pad/choose). Returns
+    """Batched arbitrary resample over overlap-tiled ``x3d`` (C, R, M2p);
+    all channels share the packed per-tile index state. C % CB == 0 and
+    JT a power of two (callers pad/choose). Returns
     (C, num_tiles*JT, L2) float32."""
-    assert x3d.shape[0] % CB == 0 and ((JT + 8) & (JT + 7)) == 0
+    assert x3d.shape[0] % CB == 0 and (JT & (JT - 1)) == 0
     kern = functools.partial(_kernel_arb_batch, CB=CB, JT=JT, M2=M2,
                              sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
                              dir_=dir_, deps=deps, packed=packed)
     return _launch_batch(kern, (pk, rowc, a0), x3d, (bp, bd),
-                         (JT, M2, sp2, L2, L2p), num_tiles, CB, interpret)
+                         (JT, x3d.shape[-1], L2, L2p), num_tiles, CB,
+                         interpret)
 
 
 def gridsel_resample_farrow_batch(x3d, pk, rowc, a0, cf, *, CB, JT, M2,
                                   sp2, T, nphi, L2, L2p, P1, dir_, deps,
                                   num_tiles, packed=False,
                                   interpret=False):
-    """Batched Farrow resample over pre-tiled ``x3d`` (C, R, M2)."""
-    assert x3d.shape[0] % CB == 0 and ((JT + 8) & (JT + 7)) == 0
+    """Batched Farrow resample over overlap-tiled ``x3d`` (C, R, M2p)."""
+    assert x3d.shape[0] % CB == 0 and (JT & (JT - 1)) == 0
     kern = functools.partial(_kernel_farrow_batch, CB=CB, JT=JT, M2=M2,
                              sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
                              P1=P1, dir_=dir_, deps=deps, packed=packed)
     return _launch_batch(kern, (pk, rowc, a0), x3d, (cf,),
-                         (JT, M2, sp2, L2, L2p), num_tiles, CB, interpret)
+                         (JT, x3d.shape[-1], L2, L2p), num_tiles, CB,
+                         interpret)

@@ -1,4 +1,4 @@
-"""Batched-channel fused arbitrary/Farrow resampler ("chansel", v4).
+"""Batched-channel fused arbitrary/Farrow resampler ("chansel", v4/v5).
 
 All channels of a batched stream share ONE resampling state (FilterState
 phase/deficit are scalars), so the per-output (window start, phase,
@@ -11,16 +11,21 @@ matrix
 
 and emits ALL channels at once with one matmul
 
-    Y_tile (C, 128) = Xw (C, U) @ K3 (U, 128).
+    Y_tile (C, 128) = Xw (C, UW) @ K3 (UW, 128).
 
 Amortized over C channels the placement cost vanishes (U*T*3/C element
 ops per output-sample); the kernel is MXU/HBM-bound — vs the per-output
 VPU work that bounds the single-channel winsel kernels (select3).
 
-The x block for each grid step is located with select3's affine
-block-base approximation; inside a step, each tile narrows its matmul to
-a 128-aligned dynamic window of the block (one dynamic f32 lane rotate —
-the only dynamic data movement in the kernel).
+v5 revision: each tile's x window arrives as UW/128 individually
+DMA'd 128-lane blocks selected by a HOST-COMPUTED per-tile base via
+scalar prefetch (the zc kernel's trick, rational2.py) — the v4 design
+instead loaded one big per-step block and extracted each tile's window
+with an in-kernel dynamic lane rotate of the whole (C, ~3300) block,
+which Mosaic lowers to a multi-stage vreg shuffle that rivaled the
+placement stages in VPU cost. The per-tile window start (tile-relative
+q < UW) is exact host int64 math; no dynamic data movement remains in
+the kernel.
 
 Reference semantics: Filters.jl:693-742 (arbitrary), 780-836 (Farrow);
 the per-output index math is the exact int64 fixed-point accumulator
@@ -42,52 +47,42 @@ __all__ = ["chan_resample_v4", "chan_resample_farrow_v4", "v4_geometry"]
 
 _LANES = 128
 _NO = 128          # outputs per tile (one matmul N dimension)
-_SUB = 8           # tiles per grid step
-_QBITS = 13        # window start relative to the x block (< 8192)
-_SH2 = 20          # affine block-base shift (select3 convention)
-_MAX_STEPS = 1 << 10
+_QBITS = 13        # tile-relative window start (< UW <= 8192)
+_MAX_TILES = 1 << 13
 
 
 def _split16(v):
+    """Host/XLA-level (hi, lo) bf16 split (banks, built once)."""
     from .. import precision as prec
 
     return prec.split_bf16(v)
+
+
+def _ksplit16(v):
+    """In-kernel (hi, lo) bf16 split: hardware RTNE demote (4 vreg-ops
+    vs split_bf16's 9 — safe inside Mosaic only, ops/precision.py)."""
+    from .. import precision as prec
+
+    return prec.split_bf16_kernel(v)
 
 
 class V4Geometry:
     def __init__(self, nphi, delta_fx, T, n_out, C):
         D = nphi << PHASE_FRAC_BITS
         self.D = D
-        self.step_out = _SUB * _NO
-        self.steps = -(-n_out // self.step_out)
-        self.steps8 = -(-self.steps // 8) * 8
+        self.tiles = -(-n_out // _NO)
+        self.tiles8 = -(-self.tiles // 8) * 8
         # per-tile matmul window: EXACT max window-start span over one
         # tile's _NO outputs (consecutive starts step by delta_fx/D) +
-        # taps + up to _LANES-1 of 128-aligned tile-base flooring. The
-        # old ms = delta//D + 1 integer ceiling padded this ~1.7x for
-        # fractional rates (e.g. 640 vs 384 at rate 0.9173) — pure
-        # placement-stage and matmul-depth waste.
+        # taps + up to _LANES-1 of 128-aligned tile-base flooring.
         span = ((_NO - 1) * delta_fx + D - 1) // D + 1
         self.uw = -(-(span + T + _LANES) // _LANES) * _LANES
-        # x block: one step's span + window + jitter rows of 128 lanes
-        span_cols = -(-(self.step_out * delta_fx // D + T + 2 * _LANES)
-                      // _LANES)
-        self.xr = span_cols + 2
-        u2 = 2 * self.xr * _LANES
-        self.ok = (T <= _LANES and self.uw <= u2
-                   and (1 << _QBITS) >= u2
-                   and self.steps8 <= _MAX_STEPS
-                   and self.steps8 * self.step_out < (1 << 31)
-                   and C % 8 == 0)
-
-    def block_bases(self):
-        j = jnp.arange(self.steps8, dtype=jnp.int32)
-        return (j * jnp.int32(self.p2)) >> _SH2
-
-    def finish(self, delta_fx):
-        adv = (self.step_out * (delta_fx / self.D)) / (self.xr * _LANES)
-        self.p2 = max(0, int(adv * (1 << _SH2)))
-        return self
+        # padded x: the last tile's base + its window, from the exact
+        # affine bound on window starts (q <= (n_out-1)*delta/D + 1)
+        q_hi = ((self.tiles8 * _NO - 1) * delta_fx) // D + 2
+        self.xblocks = q_hi // _LANES + self.uw // _LANES + 1
+        self.ok = (T <= _LANES and self.uw < (1 << _QBITS)
+                   and self.tiles8 <= _MAX_TILES and C % 8 == 0)
 
 
 def v4_geometry(nphi, delta_fx, T, n_out, C, farrow=False):
@@ -98,36 +93,40 @@ def v4_geometry(nphi, delta_fx, T, n_out, C, farrow=False):
     if not farrow and nphi > 32:
         return None
     g = V4Geometry(nphi, delta_fx, T, n_out, C)
-    return g.finish(delta_fx) if g.ok else None
+    return g if g.ok else None
 
 
 def _prep_indices(geo, nphi, delta_fx, u0, farrow):
-    """packed (steps8, step_out) int32: q relative to the step's x block
-    (13 bits) | phase (5 bits) | alpha at 2^-14 (arb), or | psi fraction
-    at 19 bits (Farrow) — all quantizations inside the 1e-4 budget.
-    Exact two-level int64 carry math as select3."""
+    """(packed (tiles8, _NO) int32, bases (tiles8,) int32).
+
+    packed: q relative to the tile's 128-aligned block base (13 bits) |
+    phase (5 bits) | alpha at 2^-14 (arb), or | psi fraction at 19 bits
+    (Farrow) — all quantizations inside the 1e-4 budget. Exact two-level
+    int64 carry math as select3. bases: per-tile x block index (units of
+    128 lanes into the padded x)."""
     D = geo.D
-    steps8, S = geo.steps8, geo.step_out
+    tiles8 = geo.tiles8
     qd, rd = divmod(delta_fx, D)
-    j = jnp.arange(steps8, dtype=jnp.int64)
+    j = jnp.arange(tiles8, dtype=jnp.int64)
     from .. import indexing as idx
 
-    in_base, u_base = idx._muladd_divmod(j * S, delta_fx, u0, D)
-    s = jax.lax.broadcasted_iota(jnp.int64, (steps8, S), 1)
+    in_base, u_base = idx._muladd_divmod(j * _NO, delta_fx, u0, D)
+    s = jax.lax.broadcasted_iota(jnp.int64, (tiles8, _NO), 1)
     t = u_base[:, None] + s * rd
-    q_rel = s * qd + t // D
     rem = t % D
-    q_abs = in_base[:, None] + q_rel
-    bj = geo.block_bases().astype(jnp.int64)
-    q_blk = jnp.clip(q_abs - bj[:, None] * (geo.xr * _LANES),
+    q_abs = in_base[:, None] + s * qd + t // D
+    # q_abs is nondecreasing along the tile, so the tile min is column 0
+    bases = jnp.clip(q_abs[:, 0] // _LANES, 0,
+                     geo.xblocks - geo.uw // _LANES).astype(jnp.int32)
+    q_blk = jnp.clip(q_abs - bases.astype(jnp.int64)[:, None] * _LANES,
                      0, (1 << _QBITS) - 1).astype(jnp.int32)
     if farrow:
         hi = ((rem << 19) // D).astype(jnp.int32)       # 19-bit psi frac
-        return q_blk | (hi << _QBITS)
+        return q_blk | (hi << _QBITS), bases
     phi = (rem >> PHASE_FRAC_BITS).astype(jnp.int32)
     a14 = ((rem & ((1 << PHASE_FRAC_BITS) - 1))
            >> (PHASE_FRAC_BITS - 14)).astype(jnp.int32)
-    return q_blk | (phi << _QBITS) | (a14 << 18)
+    return q_blk | (phi << _QBITS) | (a14 << 18), bases
 
 
 def _k4_common(pk, banks_or_coeffs, T, NPHI, farrow, P1=0):
@@ -147,7 +146,7 @@ def _k4_common(pk, banks_or_coeffs, T, NPHI, farrow, P1=0):
         for _ in range(p1pad - P1):
             rows.append(jnp.zeros((1, psi.shape[0]), f32))
         powersT = jnp.concatenate(rows, axis=0)
-        ph, plo = _split16(powersT)
+        ph, plo = _ksplit16(powersT)
         chT, clT = banks_or_coeffs                # (T128, P1pad) bf16
         tapsT = (jnp.dot(chT, ph, preferred_element_type=f32)
                  + jnp.dot(clT, ph, preferred_element_type=f32)
@@ -170,77 +169,60 @@ def _k4_common(pk, banks_or_coeffs, T, NPHI, farrow, P1=0):
     return qrel, tapsT
 
 
-def _k4_kernel(pk_ref, xa, xb, bk, o_ref, *, T: int, NPHI: int,
-               farrow: bool, P1: int, T128: int, UW: int):
+def _k4_kernel(bases_ref, pk_ref, *rest, T: int, NPHI: int, farrow: bool,
+               P1: int, T128: int, UW: int):
     f32 = jnp.float32
+    nxb = UW // _LANES
+    xparts = rest[:nxb]
+    bk, o_ref = rest[nxb], rest[nxb + 1]
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
-    xall = jnp.concatenate([xa[:], xb[:]], axis=1)       # (C, U2) f32
-    u2 = xall.shape[1]
+    xw = jnp.concatenate([xp[...] for xp in xparts], axis=1)  # (C, UW)
     if farrow:
-        t128 = T128
-        banks = (bk[0:t128, :], bk[t128:2 * t128, :])
+        banks = (bk[0:T128, :], bk[T128:2 * T128, :])
     else:
-        t128 = T128
-        banks = (bk[0:t128, :], bk[t128:2 * t128, :],
-                 bk[2 * t128:3 * t128, :], bk[3 * t128:, :])
+        banks = (bk[0:T128, :], bk[T128:2 * T128, :],
+                 bk[2 * T128:3 * T128, :], bk[3 * T128:, :])
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, _NO), 0)
-    # one aligned dynamic row load; per-tile slices are then static
-    # (Mosaic rejects dynamic sublane loads at non-zero lane offsets)
-    pk_row = pk_ref[sub, :]
-    for k in range(_SUB):
-        pk = pk_row[k * _NO:(k + 1) * _NO]
-        qrel, tapsT = _k4_common(pk, banks, T, NPHI, farrow, P1)
-        # narrow this tile's matmul to a 128-aligned dynamic window of
-        # the block: ONE dynamic f32 lane rotate; the tap placement and
-        # the matmul then run at depth UW instead of the full block
-        tb = jnp.minimum(
-            jax.lax.bitwise_and(jnp.min(qrel), jnp.int32(-_LANES)),
-            jnp.int32(u2 - UW))
-        xw = pltpu.roll(xall, jnp.int32(u2) - tb, axis=1)[:, :UW]
-        xh, xl = _split16(xw)
-        qw = qrel - tb
-        k3 = jnp.zeros((UW, _NO), f32)
-        for t in range(T):
-            m = iota_u == (qw + jnp.int32(t))[None, :]
-            k3 = k3 + jnp.where(m, tapsT[t:t + 1, :], jnp.float32(0.0))
-        kh, kl = _split16(k3)
-        acc = (jnp.dot(xh, kh, preferred_element_type=f32)
-               + jnp.dot(xh, kl, preferred_element_type=f32)
-               + jnp.dot(xl, kh, preferred_element_type=f32))
-        o_ref[:, k * _NO:(k + 1) * _NO] = acc
+    pk = pk_ref[sub, :]
+    qw, tapsT = _k4_common(pk, banks, T, NPHI, farrow, P1)
+    xh, xl = _ksplit16(xw)
+    k3 = jnp.zeros((UW, _NO), f32)
+    for t in range(T):
+        m = iota_u == (qw + jnp.int32(t))[None, :]
+        k3 = k3 + jnp.where(m, tapsT[t:t + 1, :], jnp.float32(0.0))
+    kh, kl = _ksplit16(k3)
+    acc = (jnp.dot(xh, kh, preferred_element_type=f32)
+           + jnp.dot(xh, kl, preferred_element_type=f32)
+           + jnp.dot(xl, kh, preferred_element_type=f32))
+    o_ref[:, :] = acc
 
 
-def _launch(geo, packed, banks, x2, n_out, C, interpret, static):
-    max_bj = ((geo.steps8 - 1) * geo.p2) >> _SH2
-    need = (max_bj + 2) * geo.xr * _LANES
+def _launch(geo, packed, bases, banks, x2, n_out, C, interpret, static):
+    need = geo.xblocks * _LANES
     xp = jnp.pad(x2, ((0, 0), (0, max(0, need - x2.shape[1]))))[:, :need]
-    p2, sh = geo.p2, _SH2
-    xw = geo.xr * _LANES
+    nxb = geo.uw // _LANES
+    grid8 = lambda j, b: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
 
-    def xmap_a(j):
-        return (j * 0, (j * p2) >> sh)
+    def xmap(i):
+        return lambda j, b, _i=i: (j * 0, b[j] + _i)
 
-    def xmap_b(j):
-        return (j * 0, ((j * p2) >> sh) + 1)
-
-    grid8 = lambda j: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
     out = pl.pallas_call(
         functools.partial(_k4_kernel, **static),
-        out_shape=jax.ShapeDtypeStruct((C, geo.steps8 * geo.step_out),
-                                       jnp.float32),
-        grid=(geo.steps8,),
-        in_specs=[
-            pl.BlockSpec((8, geo.step_out), grid8),
-            pl.BlockSpec((C, xw), xmap_a),
-            pl.BlockSpec((C, xw), xmap_b),
-            pl.BlockSpec(banks.shape, lambda j: (j * 0, j * 0)),
-        ],
-        out_specs=pl.BlockSpec((C, geo.step_out),
-                               lambda j: (j * 0, j)),
+        out_shape=jax.ShapeDtypeStruct((C, geo.tiles8 * _NO), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(geo.tiles8,),
+            in_specs=[
+                pl.BlockSpec((8, _NO), grid8),
+                *[pl.BlockSpec((C, _LANES), xmap(i)) for i in range(nxb)],
+                pl.BlockSpec(banks.shape, lambda j, b: (j * 0, j * 0)),
+            ],
+            out_specs=pl.BlockSpec((C, _NO), lambda j, b: (j * 0, j)),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(packed, xp, xp, banks)
+    )(bases, packed, *([xp] * nxb), banks)
     return out[:, :n_out]
 
 
@@ -253,7 +235,7 @@ def chan_resample_v4(x2, u0, pfb, dpfb, nphi: int, delta_fx: int,
     geo = v4_geometry(nphi, delta_fx, T, n_out, C)
     if geo is None:
         raise ValueError("v4 geometry inapplicable")
-    packed = _prep_indices(geo, nphi, delta_fx, u0, farrow=False)
+    packed, bases = _prep_indices(geo, nphi, delta_fx, u0, farrow=False)
     t128 = -(-T // 8) * 8
     bp = jnp.zeros((t128, nphi), jnp.float32).at[:T].set(
         pfb.astype(jnp.float32))
@@ -264,8 +246,8 @@ def chan_resample_v4(x2, u0, pfb, dpfb, nphi: int, delta_fx: int,
     banks = jnp.concatenate([ph, plo, dh, dlo], axis=0)  # (4*t128, nphi)
     static = dict(T=T, NPHI=nphi, farrow=False, P1=0, T128=t128,
                   UW=geo.uw)
-    return _launch(geo, packed, banks, x2.astype(jnp.float32), n_out, C,
-                   interpret, static)
+    return _launch(geo, packed, bases, banks, x2.astype(jnp.float32),
+                   n_out, C, interpret, static)
 
 
 def chan_resample_farrow_v4(x2, u0, coeffs, nphi: int, delta_fx: int,
@@ -276,7 +258,7 @@ def chan_resample_farrow_v4(x2, u0, coeffs, nphi: int, delta_fx: int,
     geo = v4_geometry(nphi, delta_fx, T, n_out, C)
     if geo is None:
         raise ValueError("v4 geometry inapplicable")
-    packed = _prep_indices(geo, nphi, delta_fx, u0, farrow=True)
+    packed, bases = _prep_indices(geo, nphi, delta_fx, u0, farrow=True)
     t128 = -(-T // 8) * 8
     p1pad = -(-P1 // 8) * 8
     cpadT = jnp.zeros((t128, p1pad), jnp.float32).at[:T, :P1].set(
@@ -285,5 +267,5 @@ def chan_resample_farrow_v4(x2, u0, coeffs, nphi: int, delta_fx: int,
     banks = jnp.concatenate([ch, cl], axis=0)            # (2*t128, P1pad)
     static = dict(T=T, NPHI=nphi, farrow=True, P1=P1, T128=t128,
                   UW=geo.uw)
-    return _launch(geo, packed, banks, x2.astype(jnp.float32), n_out, C,
-                   interpret, static)
+    return _launch(geo, packed, bases, banks, x2.astype(jnp.float32),
+                   n_out, C, interpret, static)
