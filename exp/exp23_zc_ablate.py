@@ -1,0 +1,219 @@
+"""Ablation of the v4 fused zc headline kernel at 8M: where does the
+2.2x-over-roofline time actually go? Variants surgically disable one
+cost class each (values wrong for all but full — timing only):
+
+  full      — production kernel (accuracy asserted separately)
+  nosplit   — single-pass bf16 matmuls (no hi/lo data splits)
+  onepass   — 3-pass structure replaced by 1 matmul per chunk (hi@hi)
+  nochunks  — each group contracts ONE 128-row chunk (first), not all
+  nostrips  — f_first/f_next read the xa block (no boundary strips,
+              no pid select, no sublane rolls)
+  dmaonly   — body writes a constant slice of xa (grid+DMA+store floor)
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python exp/exp23_zc_ablate.py \
+    [L M hlen]   (default 147 160 3528)
+"""
+import sys
+import time
+from fractions import Fraction
+from functools import partial
+
+import numpy as np
+
+MODES = ("full", "nosplit", "onepass", "nochunks", "nostrips", "dmaonly")
+ARGS = ([int(a) for a in sys.argv[1:4]] if len(sys.argv) >= 4
+        else [147, 160, 24 * 147])
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import multirate_tpu as mr
+    from multirate_tpu.ops import precision as prec
+    from multirate_tpu.ops.pallas import rational2 as r2
+    from multirate_tpu.ops import compute as cc
+
+    log("device:", jax.devices()[0].device_kind)
+    Lr, Mr, hlen = ARGS
+    ratio = Fraction(Lr, Mr)
+    scale = max(Lr, 1)
+    h = (mr.firdes(hlen, 0.5 / scale, mr.kaiser, beta=7.8562) * scale
+         ).astype(np.float32)
+    p = mr.make_kernel(h, ratio=ratio)
+    rng = np.random.default_rng(0)
+    N = 8_000_000
+    x = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    st = mr.init_state(p, (), jnp.float32)
+
+    pfb2d, L, M, g = cc._band_geometry(p)
+    gL, gM = g * L, g * M
+    n_max = N * gL // gM + 8  # close enough for timing geometry
+    groups = r2.zc_groups(pfb2d.shape[0], L, M, g,
+                          p.h_min, shift_slack=cc._zc_slack(p))
+    geo = r2.zc_geometry(gL, gM, n_max, N, S=8)
+    JT, num_tiles, T_ok, R = geo
+    log(f"groups={[(c1-c0, sp) for (c0, c1, _, sp) in groups]} JT={JT} "
+        f"tiles={num_tiles} v4={r2._v4_ok(gM, groups)}")
+    kh, kl = p.k_zc_hi, p.k_zc_lo
+    D, U, GC = kh.shape
+
+    f32 = jnp.float32
+
+    def make_kernel(mode):
+        S = 8
+
+        def body(f_first, f_xa, f_next, kh_ref, kl_ref, o_ref):
+            strips, chunks = {}, {}
+            total = JT + 2 * S
+
+            def strip(l0):
+                if l0 not in strips:
+                    strips[l0] = jnp.concatenate(
+                        [f_first(l0), f_xa(l0), f_next(l0)], axis=0)
+                return strips[l0]
+
+            def chunk(u, lm):
+                key = (u, lm)
+                if key not in chunks:
+                    if u == S or mode == "nostrips":
+                        xs = f_xa(lm)
+                    else:
+                        xs = pltpu.roll(strip(lm), jnp.int32(total - u),
+                                        axis=0)[:JT]
+                    if mode in ("nosplit", "onepass"):
+                        chunks[key] = (xs.astype(jnp.bfloat16),) * 2
+                    else:
+                        chunks[key] = prec.split_bf16_kernel(xs)
+                return chunks[key]
+
+            for gi, (c0, c1, b8, span) in enumerate(groups):
+                k0 = (S - 1) + b8 // gM
+                lane = b8 % gM
+                wc = c1 - c0
+                acc = None
+                rng_ = ([0] if mode == "nochunks"
+                        else range(0, span, 128))
+                for kr0 in rng_:
+                    w = min(128, span - kr0)
+                    al = lane + kr0
+                    xh, xl = chunk(k0 + al // gM, al % gM)
+                    if w < 128:
+                        xh, xl = xh[:, :w], xl[:, :w]
+                    cs = gi * 128
+                    kh_ = kh_ref[0, kr0:kr0 + w, cs:cs + wc]
+                    part = jnp.dot(xh, kh_, preferred_element_type=f32)
+                    if mode not in ("nosplit", "onepass"):
+                        kl_ = kl_ref[0, kr0:kr0 + w, cs:cs + wc]
+                        part = (part
+                                + jnp.dot(xh, kl_, preferred_element_type=f32)
+                                + jnp.dot(xl, kh_, preferred_element_type=f32))
+                    acc = part if acc is None else acc + part
+                o_ref[:, c0:c1] = acc.astype(f32)
+
+        def kern(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref,
+                 kh_ref, kl_ref, o_ref):
+            pid = pl.program_id(0)
+            if mode == "dmaonly":
+                o_ref[:, :] = jnp.zeros((JT, gL), f32) + xa_ref[0, 0]
+                return
+
+            def f_first(l0):
+                if mode == "nostrips":
+                    return xa_ref[:8, l0:l0 + 128]
+                return jnp.where(pid == jnp.int32(0),
+                                 hist_ref[:, l0:l0 + 128],
+                                 prev_ref[:, l0:l0 + 128])
+
+            body(f_first, lambda lm: xa_ref[:, lm:lm + 128],
+                 lambda l0: next_ref[:8, l0:l0 + 128], kh_ref, kl_ref,
+                 o_ref)
+        return kern
+
+    def make_call(mode):
+        kern = make_kernel(mode)
+        S, rps = 8, JT // 8
+        rb_max = R // 8 - 1
+        dsel1 = jnp.zeros((1,), jnp.int32)
+
+        def one(xv, khv, klv):
+            x2d = xv[: R * gM].reshape(R, gM)
+            h2d = jnp.zeros((S, gM), f32)
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((T_ok * JT, gL), f32),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(T_ok,),
+                    in_specs=[
+                        pl.BlockSpec((S, gM), lambda j, d: (j * 0, j * 0)),
+                        pl.BlockSpec(
+                            (S, gM),
+                            lambda j, d: (jnp.maximum(j * rps - 1, 0),
+                                          j * 0)),
+                        pl.BlockSpec((JT, gM), lambda j, d: (j, j * 0)),
+                        pl.BlockSpec(
+                            (S, gM),
+                            lambda j, d: (jnp.minimum((j + 1) * rps,
+                                                      rb_max), j * 0)),
+                        pl.BlockSpec((1, U, GC),
+                                     lambda j, d: (d[0], j * 0, j * 0)),
+                        pl.BlockSpec((1, U, GC),
+                                     lambda j, d: (d[0], j * 0, j * 0)),
+                    ],
+                    out_specs=pl.BlockSpec((JT, gL),
+                                           lambda j, d: (j, j * 0)),
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(dsel1, h2d, x2d, x2d, x2d, khv, klv)
+
+        @partial(jax.jit, static_argnames="reps")
+        def call(xx, khv, klv, reps):
+            def bd(i, carry):
+                xx, acc = carry
+                y = one(xx, khv, klv)
+                last = y[-1, 0]
+                xx = xx.at[0].add((last * 1e-30).astype(xx.dtype))
+                return (xx, acc + last)
+            _, acc = lax.fori_loop(0, reps, bd, (xx, jnp.float32(0)))
+            return acc
+        return lambda reps: call(x, kh, kl, reps)
+
+    def slope(call_once, repeat=8, iters=3):
+        def tmin(reps):
+            float(call_once(reps))
+            ts = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                float(call_once(reps))
+                ts.append(time.perf_counter() - t0)
+            return float(np.min(ts))
+        t1 = tmin(repeat)
+        per = max(t1 / repeat, 1e-7)
+        r2_ = repeat + max(repeat, min(int(0.5 / per), 20000))
+        sl = []
+        for _ in range(3):
+            a, b = tmin(repeat), tmin(r2_)
+            sl.append(max((b - a) / (r2_ - repeat), 1e-9))
+        return float(np.median(sl))
+
+    res = {m: [] for m in MODES}
+    for r in range(3):
+        order = MODES[r % len(MODES):] + MODES[:r % len(MODES)]
+        for mode in order:
+            sec = slope(make_call(mode))
+            msps = N / sec / 1e6
+            res[mode].append(msps)
+            log(f"round {r} {mode}: {msps:.0f} Msps")
+    log("MEDIANS:", {m: round(float(np.median(v))) for m, v in res.items()})
+
+
+if __name__ == "__main__":
+    main()

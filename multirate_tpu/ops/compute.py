@@ -216,7 +216,7 @@ def _supercycle_xla(xext, K, L_eff: int, M_eff: int, n_max: int):
     else:
         Y = jnp.einsum("...ju,ul->...jl", X3, K.astype(X3.dtype),
                        precision=prec.TAP)
-    return Y.reshape(*lead, J * L_eff)[..., :n_max]
+    return Y.reshape(*lead, J * L_eff)
 
 
 def _supercycle_pallas(xext, K, L_eff: int, M_eff: int, n_max: int):
@@ -230,7 +230,8 @@ def _supercycle_pallas(xext, K, L_eff: int, M_eff: int, n_max: int):
         return run(xext)
     lead = xext.shape[:-1]
     flat = xext.reshape(-1, xext.shape[-1])
-    return jax.vmap(run)(flat).reshape(*lead, n_max)
+    y = jax.vmap(run)(flat)
+    return y.reshape(*lead, y.shape[-1])
 
 
 def _grouped_k(params, phi0, d0, dt):
@@ -278,8 +279,8 @@ def _run_grouped(params, xext, d0, n_max, K, groups):
     if xext.ndim == 1:
         return run(xext)
     lead = xext.shape[:-1]
-    return jax.vmap(run)(xext.reshape(-1, xext.shape[-1])
-                         ).reshape(*lead, n_max)
+    y = jax.vmap(run)(xext.reshape(-1, xext.shape[-1]))
+    return y.reshape(*lead, y.shape[-1])
 
 
 def _rational_groups(params):
@@ -378,9 +379,9 @@ def _run_zc(params, history, phi0, d0, x, n_max, plan):
     if x.ndim == 1:
         return run(x, history)
     lead = x.shape[:-1]
-    return jax.vmap(run)(
-        x.reshape(-1, xlen), history.reshape(-1, history.shape[-1])
-    ).reshape(*lead, n_max)
+    y = jax.vmap(run)(
+        x.reshape(-1, xlen), history.reshape(-1, history.shape[-1]))
+    return y.reshape(*lead, y.shape[-1])
 
 
 def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):
@@ -438,8 +439,11 @@ def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):
 
 # --------------------------------------------------------------------------- #
 # Per-kernel implementations. Each returns (y_padded, count, new_state) where
-# y_padded has static trailing length max_outputs(params, xlen); entries past
-# ``count`` are unspecified (callers trim or mask).
+# y_padded has a PATH-DEPENDENT static trailing length >= count (the pallas
+# paths return their tile-padded grid output as-is: trimming it to
+# max_outputs would cost a full extra HBM read+write pass over y — measured
+# ~25% of the zc headline's wall time); entries past ``count`` are
+# unspecified (callers trim or mask).
 # --------------------------------------------------------------------------- #
 
 def _norm_path(path):

@@ -143,4 +143,4 @@ def rational_supercycle_pallas(x, K, L: int, M: int, n_out: int,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x2d, x2d, K)
-    return out.reshape(num_tiles * JT * L)[:n_out]
+    return out.reshape(num_tiles * JT * L)

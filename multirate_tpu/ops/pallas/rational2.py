@@ -421,6 +421,21 @@ ZC_FORCE_ALIGN8: bool = False
 ZC_DP_GROUPS: bool = True
 ZC_FAST_SPLIT: bool = True
 
+# Grid-size ceiling for the FUSED boundary-tile kernel: pl.when keeps two
+# v4 body instantiations live, costing ~12% per MAIN-grid step (exp24
+# interleaved bisect: 53.6 vs 47.7 Gsps at 8M), while the alternative —
+# a separate aliased tail pallas_call — costs one extra dispatch
+# serialized behind the grid (~9-16% of call time at 1M-scale inputs,
+# amortizing away as the grid grows). Fuse short grids, split long ones.
+ZC_FUSE_MAX_TILES: int = 24
+
+# Contract each group's same-row-view lane run as one long-depth dot
+# instead of per-128-lane chunks (see the _zc_body_v4 group loop).
+# Measured neutral-to-slightly-slower on the 147//160 headline (exp24:
+# 54.3 vs 55.4 Gsps medians, within pace-drift noise); kept off, retained
+# for geometries where cross-view chunk rolls dominate (small gM).
+ZC_LONGDOT: bool = False
+
 
 def _ksplit(v):
     """Data-side (hi, lo) bf16 split used inside the zc kernel bodies."""
@@ -678,11 +693,30 @@ def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
         lane = b8 % gM
         wc = c1 - c0
         acc = None
-        for kr0 in range(0, span, 128):
-            w = min(128, span - kr0)
-            al = lane + kr0
-            part = mmk(chunk(k0 + al // gM, al % gM), kr0, w,
-                       gi * 128, wc)
+        r0 = 0
+        while r0 < span:
+            al = lane + r0
+            u = k0 + al // gM
+            lm0 = al % gM
+            rend = min(span, r0 + gM - lm0)
+            if ZC_LONGDOT and u == S and rend - r0 > 128:
+                # Whole same-row-view lane run as ONE long-depth dot:
+                # the chunk accumulation moves inside the MXU pipeline
+                # (no per-chunk (JT, wc) f32 acc roundtrip). exp23
+                # ablation: pass-issue cost, not HBM, bounds the kernel
+                # (full 80 / nosplit 161 / dmaonly 605 Gsps-equivalent).
+                # Run bounds stay 128-aligned (b8, gM on the vreg grid),
+                # so the slice is still a free lane window of the rows.
+                w = rend - r0
+                xs = f_xa(lm0, w)
+                xs = (_ksplit(xs.astype(f32)) if three_pass
+                      else xs.astype(mm_dt))
+                part = mmk(xs, r0, w, gi * 128, wc)
+                r0 = rend
+            else:
+                w = min(128, rend - r0)
+                part = mmk(chunk(u, lm0), r0, w, gi * 128, wc)
+                r0 += w
             acc = part if acc is None else acc + part
         o_ref[:, c0:c1] = acc.astype(out_dtype)
 
@@ -698,7 +732,7 @@ def _kernel_zc_main(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, *rest,
                              hist_ref[:, l0:l0 + 128],
                              prev_ref[:, l0:l0 + 128])
 
-        _zc_body_v4(f_first, lambda lm: xa_ref[:, lm:lm + 128],
+        _zc_body_v4(f_first, lambda lm, w=128: xa_ref[:, lm:lm + w],
                     lambda l0: next_ref[:, l0:l0 + 128], rest,
                     S=S, JT=JT, gM=gM, groups=groups,
                     three_pass=three_pass, in_dt=xa_ref.dtype,
@@ -719,7 +753,7 @@ def _kernel_zc_tail(dsel_ref, xt_ref, *rest, JT: int, gM: int,
     if _v4_ok(gM, groups):
         S = (xt_ref.shape[0] - JT) // 2
         _zc_body_v4(lambda l0: xt_ref[0:S, l0:l0 + 128],
-                    lambda lm: xt_ref[S:S + JT, lm:lm + 128],
+                    lambda lm, w=128: xt_ref[S:S + JT, lm:lm + w],
                     lambda l0: xt_ref[S + JT:, l0:l0 + 128],
                     (*rest[:-2], rest[-1]),
                     S=S, JT=JT, gM=gM, groups=groups,
@@ -758,13 +792,13 @@ def _kernel_zc_fused(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, xt_ref,
             return jnp.where(pid == jnp.int32(0), hist_ref[:, l0:l0 + 128],
                              prev_ref[:, l0:l0 + 128])
 
-        _zc_body_v4(f_first, lambda lm: xa_ref[:, lm:lm + 128],
+        _zc_body_v4(f_first, lambda lm, w=128: xa_ref[:, lm:lm + w],
                     lambda l0: next_ref[:, l0:l0 + 128], rest, **kw)
 
     @pl.when(tail)
     def _tail():
         _zc_body_v4(lambda l0: xt_ref[0:S, l0:l0 + 128],
-                    lambda lm: xt_ref[S:S + JT, lm:lm + 128],
+                    lambda lm, w=128: xt_ref[S:S + JT, lm:lm + w],
                     lambda l0: xt_ref[S + JT:, l0:l0 + 128], rest, **kw)
 
 
@@ -802,7 +836,8 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
     rps = JT // S
     dsel1 = dsel.reshape(1).astype(jnp.int32)
 
-    if num_tiles > T_ok and _v4_ok(M, groups):
+    if (num_tiles > T_ok and _v4_ok(M, groups)
+            and num_tiles <= ZC_FUSE_MAX_TILES):
         # fused single-grid form: the boundary tile rides the main grid
         # (see _kernel_zc_fused). Clamped index maps keep the last step's
         # (dead) stream reads in bounds.

@@ -27,7 +27,7 @@ def test_pallas_rational_matches_reference_path(rng, L, M, hlen):
     xext = np.concatenate([np.zeros(h_min, np.float32), x])
     y = np.asarray(rational_supercycle_pallas(
         jnp.asarray(xext), jnp.asarray(K), L, M, len(ref), JT=32,
-        interpret=True))
+        interpret=True))[:len(ref)]  # kernels return tile-padded output
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
 
 
@@ -440,3 +440,44 @@ def test_complex_taps_fast_paths(rng, path):
         ref = np.asarray(mr.filt(h, x, 0.87, 32, *extra, path="windows"))
         n = min(len(got), len(ref))
         np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-4, atol=2e-4)
+
+
+def test_zc_fused_vs_separate_tail_branches(rng):
+    """The zc boundary tile runs FUSED into the main grid for short grids
+    and as a separate aliased tail call for long ones (ZC_FUSE_MAX_TILES,
+    exp24: the pl.when double body costs ~12%/step, the extra dispatch
+    ~9-16% of short calls). Pin BOTH branches against the windows oracle
+    on a geometry that actually has a boundary tile."""
+    from fractions import Fraction as F
+    import jax.numpy as jnp
+    from multirate_tpu.ops.pallas import rational2 as r2
+    from multirate_tpu.ops import compute as cc
+    from multirate_tpu.ops import indexing as idx
+
+    h = (mr.firdes(24 * 147, 0.5 / 147, mr.kaiser, beta=7.8562) * 147
+         ).astype(np.float32)
+    x = rng.standard_normal(60_000).astype(np.float32)
+    p = mr.make_kernel(h, ratio=F(147, 160))
+    n_max = idx.max_outputs(p, x.shape[-1])
+    plan = cc._zc_plan(p, jnp.asarray(x), np.float32, n_max)
+    assert plan is not None
+    _, geo = plan
+    jt, num_tiles, t_ok, _ = geo
+    assert num_tiles > t_ok, "need a boundary tile to exercise"
+    ref = np.asarray(mr.filt(h, x, F(147, 160), path="windows"))
+    old = (r2.ZC_FUSE_MAX_TILES, r2.ZC_LONGDOT)
+    try:
+        outs = {}
+        # also cross the ZC_LONGDOT body variant (long same-row-view dots
+        # vs per-128 chunks) so both group-loop forms stay covered
+        for name, fm, ld in (("fused", 1 << 20, True), ("septail", 0, False)):
+            r2.ZC_FUSE_MAX_TILES, r2.ZC_LONGDOT = fm, ld
+            st = mr.init_state(p, (), jnp.float32)
+            y, cnt, _ = cc.filt_block_raw(p, st, jnp.asarray(x), "pallas")
+            outs[name] = np.asarray(y)[: int(cnt)]
+    finally:
+        r2.ZC_FUSE_MAX_TILES, r2.ZC_LONGDOT = old
+    for name, got in outs.items():
+        assert got.shape == ref.shape, name
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=3e-4,
+                                   err_msg=name)
