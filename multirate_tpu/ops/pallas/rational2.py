@@ -513,7 +513,10 @@ def zc_geometry(L: int, M: int, n_out: int, xlen: int, JT: int | None = None,
     if JT is not None:
         cands = [JT]
     else:
-        jt = ZC_JT_OVERRIDE or max(S, min(256, (131072 // M) // S * S))
+        # ~1 MB of x rows per tile, capped at 384: the exp25 JT sweep on
+        # the 147//160 headline (gM=640) was flat-to-rising over 304-600
+        # with the best median at ~400; 104-200 measurably slower.
+        jt = ZC_JT_OVERRIDE or max(S, min(384, (262144 // M) // S * S))
         jt = -(-jt // S) * S
         cands = list(range(jt, S - 1, -S))
     J_total = -(-n_out // L)
