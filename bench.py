@@ -205,6 +205,19 @@ def main():
         "decim/interp (54% -> honest 18.5% interp) and destabilizing the "
         "headline (26-61 Gsps spread); see exp/exp13_zc_hbm.py.")
 
+    # ---- measured stream ceiling (achievable triad BW of this stack) - #
+    # A bare HBM-resident pallas tile copy measures ~215-310 GB/s on the
+    # relay-attached v5e vs the 819 GB/s paper figure (exp27); kernels
+    # at/above it are at the machine's effective speed of light. Report
+    # the headline against BOTH denominators.
+    copy_gbps = None
+    if on_tpu:
+        from multirate_tpu.utils.metrics import stream_copy_gbps
+        copy_gbps = stream_copy_gbps()
+        sidecar["stream_copy_gbps"] = round(copy_gbps, 1)
+        log(f"measured HBM-resident copy ceiling: {copy_gbps:.0f} GB/s "
+            f"(paper figure 819)")
+
     # ---- headline: rational 147//160 --------------------------------- #
     paths = (("supercycle", "pallas", "concat") if on_tpu
              else ("supercycle",))
@@ -229,7 +242,7 @@ def main():
     # very last stdout line below because the driver's bounded tail capture
     # dropped it in round 2 (BENCH_r02.json parsed=null)
     def headline_line(v):
-        return json.dumps({
+        d = {
             "metric": "rational_147_160_8M_f32_throughput",
             "value": round(v, 1),
             "unit": "Msamples/s",
@@ -238,7 +251,15 @@ def main():
             "oracle_rel_rms": head["oracle_rel_rms"],
             "roofline_pct": round(
                 100 * v / roofline_msps(float(ratio)), 1),
-        })
+        }
+        if copy_gbps:
+            # same-process measured triad ceiling (bare pallas copy) —
+            # the achievable denominator; the paper-roofline pct above
+            # keeps BASELINE comparability
+            gbs = v * 1e6 * 4 * (1 + float(ratio)) / 1e9
+            d["stream_copy_gbps"] = round(copy_gbps, 1)
+            d["pct_of_copy_ceiling"] = round(100 * gbs / copy_gbps, 1)
+        return json.dumps(d)
 
     headline_json = headline_line(msps)
     print(headline_json, flush=True)

@@ -48,13 +48,19 @@ def main():
     N = 8_000_000
     x = jnp.asarray(rng.standard_normal(N).astype(np.float32))
     st = mr.init_state(p, (), jnp.float32)
+    # copy/shaped probes use a 32M stream (128 MB): an 8M probe's x AND y
+    # go VMEM-resident across the chained loop and measure VMEM BW (~3+
+    # TB/s observed — memory note "VMEM-resident bw probes invalid");
+    # the production headline's ~100 MB K stacks already force HBM.
+    NB = 32_000_000
+    xb = jnp.asarray(rng.standard_normal(NB).astype(np.float32))
 
     pfb2d, L, M, g = cc._band_geometry(p)
     gL, gM = g * L, g * M       # 588, 640
 
     def make_copy():
         JT, W = 384, 1024
-        R = N // W
+        R = NB // W
         T = R // JT
 
         def kern(xa, o_ref):
@@ -82,11 +88,11 @@ def main():
                 return (xx, acc + last)
             _, acc = lax.fori_loop(0, reps, body, (xx, jnp.float32(0)))
             return acc
-        return lambda reps: call(x, reps)
+        return lambda reps: call(xb, reps)
 
     def make_shaped():
         JT = 384
-        R = N // gM
+        R = NB // gM
         T = (R - 8) // JT
 
         def kern(xa, o_ref):
@@ -116,7 +122,7 @@ def main():
                 return (xx, acc + last)
             _, acc = lax.fori_loop(0, reps, body, (xx, jnp.float32(0)))
             return acc
-        return lambda reps: call(x, reps)
+        return lambda reps: call(xb, reps)
 
     def slope_raw(call_once, repeat=8, iters=3):
         def tmin(reps):
@@ -141,10 +147,10 @@ def main():
     def run(mode):
         if mode == "copy":
             sec = slope_raw(copy_fn)
-            gbs = 2 * 4 * N / sec / 1e9
+            return NB / sec / 1e6, 2 * 4 * NB / sec / 1e9
         elif mode == "shaped":
             sec = slope_raw(shaped_fn)
-            gbs = (4 * N + 4 * N * 147 / 160) / sec / 1e9
+            return NB / sec / 1e6, (4 * NB + 4 * NB * 147 / 160) / sec / 1e9
         else:
             sec = chained_seconds_per_call(p, st, x, "pallas",
                                            repeat=8, iters=3)

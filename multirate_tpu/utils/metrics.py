@@ -26,7 +26,7 @@ import numpy as np
 
 __all__ = ["ThroughputReport", "measure", "measure_chained",
            "chained_seconds_per_call", "hbm_roofline_samples_per_s",
-           "KNOWN_HBM_GBPS"]
+           "KNOWN_HBM_GBPS", "stream_copy_gbps"]
 
 # Peak HBM bandwidth per chip, GB/s (public figures).
 KNOWN_HBM_GBPS = {
@@ -203,3 +203,78 @@ def measure(fn, *args, in_samples: int, out_samples: int,
         in_samples_per_s=in_samples / sec, out_samples_per_s=out_samples / sec,
         roofline_fraction=_roofline_fraction(in_samples / sec, rate,
                                              itemsize, dev))
+
+
+def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
+                     iters: int = 3, seed: int = 0) -> float:
+    """Measured Pallas tile-copy bandwidth (read+write, GB/s) at an
+    HBM-RESIDENT working set: the ACHIEVABLE ceiling of this grid/DMA
+    stack, as opposed to the paper HBM figure (KNOWN_HBM_GBPS).
+
+    exp/exp27_bw_floor.py on the relay-attached v5e: a bare (384, 1024)
+    tile copy sustains ~215 GB/s and a headline-shaped read/write ~310,
+    against the 819 GB/s paper figure — while the production zc kernel
+    moves ~390 GB/s. Kernels at or above this copy number are at the
+    machine's effective speed of light; report both fractions. The
+    default working set is 2 x 128 MB (VMEM-resident probes measure
+    VMEM at 1.3-35 TB/s and are invalid — ROADMAP round-3 finding 1).
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    JT, W = 384, 1024
+    R = n_floats // W
+    T = R // JT
+    x = jnp.asarray(np.random.default_rng(seed)
+                    .standard_normal(T * JT * W).astype(np.float32))
+
+    def kern(xa, o_ref):
+        o_ref[:, :] = xa[:, :]
+
+    def one(xv):
+        x2d = xv.reshape(T * JT, W)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((T * JT, W), jnp.float32),
+            grid=(T,),
+            in_specs=[pl.BlockSpec((JT, W), lambda j: (j, j * 0))],
+            out_specs=pl.BlockSpec((JT, W), lambda j: (j, j * 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=jax.default_backend() != "tpu",
+        )(x2d)
+
+    @partial(jax.jit, static_argnames="reps")
+    def call(xx, reps):
+        def body(i, carry):
+            xx, acc = carry
+            y = one(xx)
+            last = y[-1, -1]
+            xx = xx.at[0].add((last * 1e-30).astype(xx.dtype))
+            return (xx, acc + last)
+        _, acc = lax.fori_loop(0, reps, body, (xx, jnp.float32(0)))
+        return acc
+
+    def tmin(reps):
+        float(call(x, reps))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(call(x, reps))
+            ts.append(time.perf_counter() - t0)
+        return float(np.min(ts))
+
+    t1 = tmin(repeat)
+    per = max(t1 / repeat, 1e-7)
+    r2 = repeat + max(repeat, min(int(0.5 / per), 20000))
+    slopes = []
+    for _ in range(3):
+        a, b = tmin(repeat), tmin(r2)
+        slopes.append(max((b - a) / (r2 - repeat), 1e-9))
+    sec = float(np.median(slopes))
+    return 2 * 4 * (T * JT * W) / sec / 1e9
