@@ -55,6 +55,14 @@ def table() -> str:
         lines += ["", f"Chunked-vs-whole RMS (headline): {rms:.1e} "
                   "(float reduction-order noise; index decisions exactly "
                   "chunking-invariant)."]
+    cg = side.get("stream_copy_gbps")
+    if cg is not None:
+        lines += ["", f"Roofline context: a bare HBM-resident Pallas tile "
+                  f"copy measures **{cg:.0f} GB/s** on this stack (same "
+                  "process, same methodology) against the 819 GB/s paper "
+                  "figure — the '% HBM roofline' column uses the paper "
+                  "denominator; the headline kernel moves more bytes/s "
+                  "than the bare copy (see ROADMAP round-3 finding 6)."]
     return "\n".join(lines)
 
 
