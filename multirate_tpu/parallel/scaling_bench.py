@@ -8,12 +8,32 @@ entry state, and shard_map wrapping add over running the same kernel on
 the same per-shard blocks unsharded. That overhead is what determines
 scaling efficiency on real ICI-connected chips (the per-shard compute is
 identical hardware-for-hardware; only the added work/communication eats
-the ≥80% BASELINE target).
+the >=80% BASELINE target).
 
-Methodology (round-3 rewrite; the round-2 version compared different
-kernel code paths at different working-set sizes and reported a
-physically impossible 30x "speedup" — it measured gather-matrix memory
-pressure, not sharding):
+Round-4 root-cause of the round-3 "1.66x at n_t=2" spike (exp29):
+
+1. The per-shard block was NOT a multiple of the input stride M, so every
+   shard k>=1 entered mid-phase and paid the in-graph banded-K scatter
+   (ops/compute.py::_build_k_in_graph) that the unsharded fresh-state
+   baseline never pays. DESIGN RULE (now documented in parallel/sharded.py):
+   pick per-shard blocks in multiples of M — the closed-form entry state
+   then lands on the fresh phase and `_select_k`'s cond takes the
+   precomputed-K branch on every shard. B here is 65600 = 410*160.
+2. Non-interleaved measurement: sharded and unsharded medians were taken
+   minutes apart on a 4-core host whose background load drifts; ratios of
+   non-simultaneous medians swung +-0.2. Rounds are now interleaved
+   (one unsharded + one of each shard count per round) so drift cancels.
+
+With both fixes the shipped step measures 0.94-1.08x across n_t in
+{1,2,4,8} (<= the 1.1 bar), and the decomposition (exp29_scaling_decomp)
+attributes the residual: a bare shard_map "floor" with no halo and fresh
+state already costs ~0.90-0.96x (8 spin-waiting XLA device threads on 4
+cores inflate process CPU — a virtual-mesh artifact, also the reason
+ratios can dip below 1), the halo ppermute adds ~+0.06, and the
+closed-form entry-state math ~+0.05. The ``artifact_floor`` row makes
+that denominator visible in the sidecar.
+
+Methodology notes (round-3 rewrite, kept):
 
 - ONE kernel path for every measurement: ``supercycle`` (pure XLA, runs
   identically under shard_map and unsharded, no auto-path switching).
@@ -41,20 +61,6 @@ import time
 from fractions import Fraction
 
 
-def _measure(fn, repeats=9):
-    """(median wall seconds, median process-CPU seconds) of fn()."""
-    import numpy as np
-
-    fn()  # compile / warm
-    ws, cs = [], []
-    for _ in range(repeats):
-        t0, c0 = time.perf_counter(), time.process_time()
-        fn()
-        ws.append(time.perf_counter() - t0)
-        cs.append(time.process_time() - c0)
-    return float(np.median(ws)), float(np.median(cs))
-
-
 def main():
     import jax
 
@@ -62,8 +68,12 @@ def main():
 
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
 
     import multirate_tpu as mr
+    from multirate_tpu.ops.compute import filt_block_raw
+    from multirate_tpu.ops.params import FilterState
     from multirate_tpu.parallel.sharded import make_mesh, shard_filt_block
 
     n_dev = len(jax.devices())
@@ -72,57 +82,96 @@ def main():
          ).astype(np.float32)
     params = mr.make_kernel(h, ratio=Fraction(147, 160))
     PATH = "supercycle"  # pinned: identical kernel at every shard count
-    C, B = 8, 1 << 16    # channels, per-shard block (>= h_min, mult of 160)
-
-    # ---- unsharded reference: the same kernel on one B-block ---------- #
-    x1 = jnp.asarray(rng.standard_normal((C, B)).astype(np.float32))
-    st1 = mr.init_state(params, (C,), jnp.float32)
-    step1 = jax.jit(lambda s, xx: mr.filt_block(params, s, xx, path=PATH))
-
-    def run_unsharded():
-        y, cnt, _ = step1(st1, x1)
-        jax.block_until_ready((y, cnt))
-
-    w_un, c_un = _measure(run_unsharded)
+    # B % M == 0 (65600 = 410*160): every shard's closed-form entry state
+    # is the fresh phase, so no shard pays the in-graph K scatter (the
+    # round-3 1.66x spike; see module docstring + exp29)
+    C, B = 8, 65600
 
     shard_counts = [n for n in (1, 2, 4, 8) if n <= n_dev]
 
-    # ---- weak scaling: fixed per-shard block ---------------------------- #
-    weak_wall, weak_cpu, overhead = {}, {}, {}
+    # ---- build + compile everything before any timing ----------------- #
+    x1 = jnp.asarray(rng.standard_normal((C, B)).astype(np.float32))
+    st = mr.init_state(params, (C,), jnp.float32)
+    step1 = jax.jit(lambda s, xx: mr.filt_block(params, s, xx, path=PATH))
+    jax.block_until_ready(step1(st, x1)[:2])
+
+    def floor_fn(n_t):
+        """Bare shard_map around the kernel: zero halo, fresh state — the
+        minimum possible sharded cost on this mesh (artifact floor)."""
+        mesh = make_mesh(1, n_t)
+
+        def stepk(hist0, x_blk):
+            s = FilterState(history=jnp.zeros_like(hist0),
+                            phase=jnp.asarray(1, jnp.int64),
+                            deficit=jnp.asarray(1, jnp.int64))
+            y, cnt, _ = filt_block_raw(params, s, x_blk, PATH)
+            return y[:, None, :], cnt.reshape(1)
+
+        fn = jax.shard_map(stepk, mesh=mesh,
+                           in_specs=(P("ch", None), P("ch", "t")),
+                           out_specs=(P("ch", "t", None), P("t")))
+        return jax.jit(lambda s, xx: fn(s.history, xx))
+
+    weak_runs, floor_runs, xw = {}, {}, {}
     for n_t in shard_counts:
         mesh = make_mesh(1, n_t)
-        x = jnp.asarray(
+        xw[n_t] = jnp.asarray(
             rng.standard_normal((C, n_t * B)).astype(np.float32))
-        state = mr.init_state(params, (C,), jnp.float32)
-        step = jax.jit(lambda s, xx, _m=mesh: shard_filt_block(
+        f = jax.jit(lambda s, xx, _m=mesh: shard_filt_block(
             params, s, xx, _m, path=PATH))
+        jax.block_until_ready(f(st, xw[n_t])[:2])
+        weak_runs[n_t] = f
+        g = floor_fn(n_t)
+        jax.block_until_ready(g(st, xw[n_t]))
+        floor_runs[n_t] = g
 
-        def run():
-            y, counts, _ = step(state, x)
-            jax.block_until_ready((y, counts))
+    def cpu_wall(fn, *a):
+        t0, c0 = time.perf_counter(), time.process_time()
+        jax.block_until_ready(fn(*a))
+        return time.perf_counter() - t0, time.process_time() - c0
 
-        w, c = _measure(run)
-        weak_wall[str(n_t)] = w
-        weak_cpu[str(n_t)] = c
-        # total added work per shard vs the unsharded same-size block
-        overhead[str(n_t)] = round(c / (n_t * c_un), 3)
+    # ---- weak scaling: interleaved rounds (drift cancels) ------------- #
+    R = 12
+    un_c, un_w = [], []
+    wc = {n: [] for n in shard_counts}
+    ww = {n: [] for n in shard_counts}
+    fc = {n: [] for n in shard_counts}
+    for _ in range(R):
+        w, c = cpu_wall(step1, st, x1)
+        un_w.append(w)
+        un_c.append(c)
+        for n_t in shard_counts:
+            w, c = cpu_wall(weak_runs[n_t], st, xw[n_t])
+            ww[n_t].append(w)
+            wc[n_t].append(c)
+            _, c = cpu_wall(floor_runs[n_t], st, xw[n_t])
+            fc[n_t].append(c)
 
-    # ---- strong scaling: fixed global size ------------------------------ #
+    c_un = float(np.median(un_c))
+    w_un = float(np.median(un_w))
+    overhead = {str(n): round(float(np.median(wc[n])) / (n * c_un), 3)
+                for n in shard_counts}
+    floor = {str(n): round(float(np.median(fc[n])) / (n * c_un), 3)
+             for n in shard_counts}
+    weak_wall = {str(n): float(np.median(ww[n])) for n in shard_counts}
+    weak_cpu = {str(n): float(np.median(wc[n])) for n in shard_counts}
+
+    # ---- strong scaling: fixed global size ----------------------------- #
     N_g = max(shard_counts) * B
     xg = jnp.asarray(rng.standard_normal((C, N_g)).astype(np.float32))
-    strong_wall = {}
+    strong_runs = {}
     for n_t in shard_counts:
         mesh = make_mesh(1, n_t)
-        state = mr.init_state(params, (C,), jnp.float32)
-        step = jax.jit(lambda s, xx, _m=mesh: shard_filt_block(
+        f = jax.jit(lambda s, xx, _m=mesh: shard_filt_block(
             params, s, xx, _m, path=PATH))
-
-        def run():
-            y, counts, _ = step(state, xg)
-            jax.block_until_ready((y, counts))
-
-        w, _ = _measure(run)
-        strong_wall[str(n_t)] = w
+        jax.block_until_ready(f(st, xg)[:2])
+        strong_runs[n_t] = f
+    sw = {n: [] for n in shard_counts}
+    for _ in range(9):
+        for n_t in shard_counts:
+            w, _ = cpu_wall(strong_runs[n_t], st, xg)
+            sw[n_t].append(w)
+    strong_wall = {str(n): float(np.median(sw[n])) for n in shard_counts}
 
     t1 = strong_wall.get("1")
     speedup = ({k: round(t1 / v, 3) for k, v in strong_wall.items()}
@@ -136,7 +185,8 @@ def main():
 
     out = {
         "workload": (f"rational 147//160, C={C}, path={PATH} pinned, "
-                     f"per-shard block B={B}"),
+                     f"per-shard block B={B} (multiple of M=160: fresh "
+                     f"entry phase on every shard — see module docstring)"),
         "n_devices": n_dev,
         "kernel_path": PATH,
         "unsharded_block_seconds": {"wall": w_un, "cpu": c_un},
@@ -148,6 +198,10 @@ def main():
         # here plus an ICI-latency term this host cannot measure.
         "work_overhead_ratio": overhead,
         "work_overhead_ratio_max": max(overhead.values()),
+        # bare shard_map + same kernel, no halo, fresh state: the
+        # virtual-mesh artifact denominator (spin-waiting device threads).
+        # (overhead - floor) is the real added work of halo + entry state.
+        "artifact_floor_ratio": floor,
         "strong_wall_seconds": strong_wall,
         # shared-core wall speedup: sanity/monotonicity only, NOT a
         # multi-chip scaling claim (all virtual devices share host cores)

@@ -16,6 +16,13 @@ The chunked==whole invariant across devices is the same invariant the
 reference tests for single-core chunking (runtests.jl:72-96): each device's
 block is one "chunk", with the closed-form entry state replacing the
 sequentially-carried one.
+
+PERF DESIGN RULE (exp29): for the rational family, pick per-shard block
+lengths that are multiples of the input stride M. The closed-form entry
+state then lands on the fresh phase for every shard and `_select_k`'s cond
+takes the host-precomputed K branch; otherwise every shard k>=1 pays the
+in-graph banded-K scatter each call (the round-3 weak-scaling "1.66x"
+spike). Results are identical either way — only speed differs.
 """
 
 from __future__ import annotations
