@@ -242,13 +242,24 @@ def outputlength(arg0, inlen=None, initial_phi: int = 1, state=None) -> int:
     raise TypeError(f"unknown kernel {type(arg0)}")
 
 
-def inputlength(params, outlen: int, state=None) -> int:
+def inputlength(params, outlen=None, initial_phi: int = 1, state=None) -> int:
     """Minimum input length that produces ``outlen`` outputs.
 
-    Reference: Filters.jl:396-422. The decimator variant fixes the
-    reference's bug (it reads nonexistent ``kernel.inputlength``,
-    Filters.jl:415 — SURVEY.md section 2.2 item 3) by using the deficit.
+    Two call shapes (mirroring outputlength's, Filters.jl:395-422):
+    - ``inputlength(outlen, ratio, initial_phi)`` — the raw rational
+      algebra of Filters.jl:395-400: ceil((outlen*M + phi - 1)/L).
+    - ``inputlength(params, outlen, state=s)`` — per-kernel, accounting
+      for the kernel's current deficit/phase. The decimator variant fixes
+      the reference's bug (it reads nonexistent ``kernel.inputlength``,
+      Filters.jl:415 — SURVEY.md section 2.2 item 3) by using the deficit.
     """
+    if isinstance(params, int):
+        # inputlength(outlen, ratio, initial_phi)
+        ratio = outlen
+        ratio = Fraction(*ratio) if isinstance(ratio, tuple) else Fraction(ratio)
+        L, M = ratio.numerator, ratio.denominator
+        return _ceil_div(params * M + initial_phi - 1, L)
+
     d0 = 1 if state is None else int(state.deficit)
     phi0 = 1 if state is None else int(state.phase)
 

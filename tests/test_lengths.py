@@ -173,6 +173,21 @@ def test_raw_outputlength_formula():
     assert mr.outputlength(100, Fraction(3, 2), 3) == 149
 
 
+def test_raw_inputlength_formula():
+    # ceil((outlen*M + phi - 1)/L) — Filters.jl:395-400, symmetric with
+    # the raw outputlength overload
+    assert mr.inputlength(150, Fraction(3, 2), 1) == 100
+    assert mr.inputlength(149, Fraction(3, 2), 3) == 100
+    # roundtrip with the raw outputlength: inlen samples at (ratio, phi)
+    # always produce >= the outlen the raw inverse was asked for
+    for L, M in [(3, 2), (1, 4), (7, 5), (147, 160)]:
+        r = Fraction(L, M)
+        for phi in (1, 2, min(L, 3)):
+            for outlen in (1, 7, 150, 44100):
+                need = mr.inputlength(outlen, r, phi)
+                assert mr.outputlength(need, r, phi) >= outlen
+
+
 def test_max_outputs_bounds_actual():
     rng = np.random.default_rng(2)
     h = rng.standard_normal(32)
