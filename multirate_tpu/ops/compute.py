@@ -773,9 +773,21 @@ def _farrow(params: FIRFarrow, state, x, path):
         from .ratgrid import farrow_ratgrid_apply
 
         if params.ratgrid_meta is None or n_max > params.ratgrid_meta.n_cap:
-            raise ValueError(
-                "no rational-grid plan for this configuration/block size; "
-                "use path='winsel' or 'windows'")
+            # the drift-bounded plan legitimately caps the block output
+            # count (ops/ratgrid.py n_cap); degrade to the tile-adaptive
+            # gridsel kernel (or winsel) rather than erroring — trace-time
+            # static decision, warned once per trace
+            import warnings
+
+            alt = ("gridsel" if (params.gridsel_meta is not None
+                                 and n_max <= params.gridsel_meta.n_cap
+                                 and dt == jnp.float32)
+                   else "winsel")
+            warnings.warn(
+                f"no rational-grid plan for this configuration/block size "
+                f"(n_max={n_max}); degrading path='ratgrid' -> '{alt}'",
+                stacklevel=2)
+            return _farrow(params, state, x, alt)
         y = farrow_ratgrid_apply(
             params.ratgrid_meta, params.k_ratgrid, params.nphi,
             params.delta_fx, xext, state.phase, state.deficit, n_max, dt)
