@@ -120,6 +120,29 @@ def main():
     on_tpu = dev.platform == "tpu"
     log(f"device: {dev.device_kind} ({dev.platform})")
 
+    # ---- wall-clock budget (BENCH_r03 was killed at rc=124 mid-sweep) - #
+    # The guard degrades (fewer reps/iters, then skipping fallback paths)
+    # instead of letting the driver's timeout truncate the record.
+    T0 = time.monotonic()
+    BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", "1500"))
+
+    def left():
+        return BUDGET - (time.monotonic() - T0)
+
+    # ---- scaling bench: CPU-only subprocess, overlapped with the TPU
+    # sweep (it owns no TPU; nice 19 keeps it off the dispatch path).
+    # Round 3 ran it serially with a 900 s allowance — a third of the
+    # budget for something that doesn't need the TPU at all.
+    scaling_proc = None
+    if os.environ.get("BENCH_HEADLINE_ONLY") is None:
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        scaling_proc = subprocess.Popen(
+            ["nice", "-n", "19", sys.executable, "-m",
+             "multirate_tpu.parallel.scaling_bench"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+
     N = 8_000_000
     ratio = Fraction(147, 160)
     h = (mr.firdes(24 * 147, 0.5 / 147, mr.kaiser, beta=7.8562) * 147
@@ -158,9 +181,22 @@ def main():
         st = mr.init_state(p, xx.shape[:-1], state_dtype)
         best, best_path = 0.0, None
         for path in paths:
+            # budget tiers: degrade before the driver's timeout does
+            rem = left()
+            if best_path is not None and rem < 120:
+                log(f"  [{name} / {path}]: skipped (budget: {rem:.0f}s left"
+                    f" and a faster path already measured)")
+                continue
+            if rem < 0.25 * BUDGET:
+                rep, it, tt = max(12, REPEAT // 4), 2, 0.4
+            elif rem < 0.5 * BUDGET:
+                rep, it, tt = max(25, REPEAT // 2), 3, 0.7
+            else:
+                rep, it, tt = REPEAT, iters, 1.0
             try:
                 sec = chained_seconds_per_call(p, st, xx, path,
-                                               repeat=REPEAT, iters=iters)
+                                               repeat=rep, iters=it,
+                                               target_t1=tt)
             except Exception as e:  # noqa: BLE001 - a path without a plan
                 log(f"  [{name} / {path}]: skipped ({type(e).__name__}: {e})")
                 continue
@@ -184,8 +220,8 @@ def main():
         if dequant is not None:
             y_check = dequant(y_check)
         rms = accuracy_rms(mr, p, hh, spec, x_np, y_check)
-        roof = roofline_msps(rate, jnp.dtype(xx.dtype).itemsize,
-                             itemsize_out)
+        isz = jnp.dtype(xx.dtype).itemsize
+        roof = roofline_msps(rate, isz, itemsize_out)
         entry = {
             "name": name, "path": best_path,
             "msps_in": round(best, 1),
@@ -193,8 +229,16 @@ def main():
             "roofline_pct": round(100 * best / roof, 1),
             "oracle_rel_rms": rms,
         }
+        # honest per-config denominators (VERDICT r3 item 8): bytes moved
+        # per second (input read + output write at the row's itemsizes)
+        # against BOTH the paper roofline and the measured copy ceiling
+        gbps = best * 1e6 * (isz + rate * (itemsize_out or isz)) / 1e9
+        entry["gbps_moved"] = round(gbps, 1)
+        if copy_gbps:
+            entry["pct_of_copy_ceiling"] = round(100 * gbps / copy_gbps, 1)
         log(f"  [{name}] best={best:.0f} Msps ({entry['roofline_pct']}% "
-            f"roofline) oracle-rms={rms:.2e}")
+            f"roofline, {entry.get('pct_of_copy_ceiling', '-')}% of measured"
+            f" ceiling) oracle-rms={rms:.2e}")
         sidecar["configs"].append(entry)
         _write_sidecar()
         return entry
@@ -265,35 +309,11 @@ def main():
     print(headline_json, flush=True)
 
     # ---- full BASELINE config sweep ---------------------------------- #
+    # Row order = descending value-per-second: quantized modes first (they
+    # reuse the headline geometry, cheap), then the uniform families, then
+    # the arb/Farrow rows whose winsel fallback is the slowest path in the
+    # matrix (BENCH_r03 died inside farrow_64ch).
     if os.environ.get("BENCH_HEADLINE_ONLY") is None:
-        h147 = np.asarray(
-            mr.firdes(147, 0.2, mr.kaiser, beta=7.0), dtype=np.float32)
-        ha = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
-              ).astype(np.float32)
-        fast = ("pallas", "concat") if on_tpu else ("supercycle",)
-        arbp = ("gridsel", "winsel") if on_tpu else ("winsel",)
-        bench_config("standard_147taps",
-                     mr.make_kernel(h147, ratio=Fraction(1, 1)),
-                     Fraction(1, 1), h147, x, fast)
-        bench_config("decim_1_4", mr.make_kernel(h147, ratio=Fraction(1, 4)),
-                     Fraction(1, 4), h147, x, fast)
-        bench_config("interp_4_1", mr.make_kernel(h147, ratio=Fraction(4, 1)),
-                     Fraction(4, 1), h147, x, fast)
-        bench_config("arbitrary_0.4709",
-                     mr.make_kernel(ha, rate=0.4709, nphi=32),
-                     0.4709, ha, x, arbp)
-        farrp = ("gridsel", "ratgrid", "winsel") if on_tpu else ("winsel",)
-        bench_config("farrow_0.4709",
-                     mr.make_kernel(ha, rate=0.4709, nphi=32, polyorder=4),
-                     0.4709, ha, x, farrp)
-        # 64-channel batched Farrow (single-chip stand-in for the sharded
-        # config; the sharding overhead curve comes from the CPU mesh below)
-        x64 = jnp.asarray(rng.standard_normal((64, N // 64))
-                          .astype(np.float32))
-        bench_config("farrow_64ch_batched",
-                     mr.make_kernel(ha, rate=0.9173, nphi=32, polyorder=4),
-                     0.9173, ha, x64, arbp, iters=3)
-
         # ---- quantized modes (TPU-native added capability) ---------- #
         # Oracle RMS for these rows is end-to-end quantization error vs the
         # TRUE float64 design (taps + signal quantization included): bf16
@@ -317,32 +337,49 @@ def main():
                      x_check=quant.quantize_signal(x_np[:200_000], s_x)[0],
                      itemsize_out=4)
 
-        # scaling overhead structure on the virtual CPU mesh (subprocess:
-        # the axon plugin owns this process's backend)
-        try:
-            env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
-                       JAX_PLATFORMS="cpu",
-                       XLA_FLAGS="--xla_force_host_platform_device_count=8")
-            out = subprocess.run(
-                [sys.executable, "-m", "multirate_tpu.parallel.scaling_bench"],
-                capture_output=True, text=True, timeout=900, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            sidecar["scaling"] = json.loads(out.stdout.strip().splitlines()[-1])
-            log("scaling:", sidecar["scaling"])
-        except Exception as e:  # noqa: BLE001
-            log("scaling bench failed:", e)
-            sidecar["scaling"] = {"error": str(e)}
+        h147 = np.asarray(
+            mr.firdes(147, 0.2, mr.kaiser, beta=7.0), dtype=np.float32)
+        ha = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+              ).astype(np.float32)
+        fast = ("pallas", "concat") if on_tpu else ("supercycle",)
+        arbp = ("gridsel", "winsel") if on_tpu else ("winsel",)
+        bench_config("standard_147taps",
+                     mr.make_kernel(h147, ratio=Fraction(1, 1)),
+                     Fraction(1, 1), h147, x, fast)
+        bench_config("decim_1_4", mr.make_kernel(h147, ratio=Fraction(1, 4)),
+                     Fraction(1, 4), h147, x, fast)
+        bench_config("interp_4_1", mr.make_kernel(h147, ratio=Fraction(4, 1)),
+                     Fraction(4, 1), h147, x, fast)
+        bench_config("arbitrary_0.4709",
+                     mr.make_kernel(ha, rate=0.4709, nphi=32),
+                     0.4709, ha, x, arbp)
+        # ratgrid is not in the path matrix: its drift-bounded plan can't
+        # cover 8M-input blocks (n_cap ~1.7M outputs) and would silently
+        # degrade to gridsel — measuring it twice tells us nothing
+        bench_config("farrow_0.4709",
+                     mr.make_kernel(ha, rate=0.4709, nphi=32, polyorder=4),
+                     0.4709, ha, x, arbp)
+        # 64-channel batched Farrow (single-chip stand-in for the sharded
+        # config; the sharding overhead curve comes from the CPU mesh)
+        x64 = jnp.asarray(rng.standard_normal((64, N // 64))
+                          .astype(np.float32))
+        bench_config("farrow_64ch_batched",
+                     mr.make_kernel(ha, rate=0.9173, nphi=32, polyorder=4),
+                     0.9173, ha, x64, arbp, iters=3)
 
     # headline = median of 3 PACE-SEPARATED measurements: the relay/device
     # pace drifts over minutes (identical programs measured 42-51 Gsps
     # across sessions), so the first run and two re-runs separated by the
     # ~10-minute sweep bound the drift; the median is the reported value.
-    if on_tpu and head.get("path") == "pallas":
+    if on_tpu and head.get("path") == "pallas" and left() > 150:
         vals = [msps]
         for _ in range(2):
             sec = chained_seconds_per_call(params, state0, x, "pallas",
-                                           repeat=REPEAT, iters=6)
+                                           repeat=REPEAT, iters=6,
+                                           target_t1=1.0)
             vals.append(x.size / sec / 1e6)
+            if left() < 120:
+                break
         msps = float(np.median(vals))
         log(f"headline separated runs {[round(v) for v in vals]} "
             f"-> median {msps:.0f} Msps")
@@ -351,8 +388,20 @@ def main():
             100 * msps / roofline_msps(float(ratio)), 1)
         headline_json = headline_line(msps)
 
+    # collect the overlapped scaling subprocess (started before the sweep)
+    if scaling_proc is not None:
+        try:
+            out, _ = scaling_proc.communicate(timeout=max(60, left()))
+            sidecar["scaling"] = json.loads(out.strip().splitlines()[-1])
+            log("scaling:", sidecar["scaling"])
+        except Exception as e:  # noqa: BLE001
+            scaling_proc.kill()
+            log("scaling bench failed:", e)
+            sidecar["scaling"] = {"error": str(e)}
+
     _write_sidecar()
-    log(f"sidecar written: {side_path}")
+    log(f"sidecar written: {side_path} ({time.monotonic()-T0:.0f}s elapsed,"
+        f" budget {BUDGET:.0f}s)")
     # LAST stdout line == the driver's headline JSON (survives tail capture)
     print(headline_json, flush=True)
 

@@ -79,7 +79,8 @@ def _roofline_fraction(in_sps, rate, itemsize, device):
 
 def chained_seconds_per_call(params, state, x, path: str = "auto",
                              repeat: int = 50, iters: int = 6,
-                             max_extra: int = 20000) -> float:
+                             max_extra: int = 20000,
+                             target_t1: float | None = None) -> float:
     """Per-call seconds of ``filt_block_raw(params, state, x, path)``.
 
     Times a serialized dependency chain at two trip counts and returns the
@@ -90,9 +91,16 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
     (xx.at[0].add, which XLA performs in place on the loop carry — no
     extra HBM pass, unlike a full xx rewrite, which would add an
     8 MB/iter read+write and cap the measurable roofline at ~50%).
-    """
-    from functools import partial
 
+    The trip count is a TRACED fori_loop bound, so every rep count shares
+    one compilation (the round-3 bench paid 2-3 compiles per path; slow
+    remote compiles dominated its wall time). ``target_t1`` enables
+    budget-adaptive reps: a cheap probe estimates the per-call cost, then
+    r1 is chosen so the base measurement takes ~``target_t1`` seconds
+    (capped at ``repeat``), and iters drops to 3 for slow configs — this
+    is what keeps 25-30 ms/call fallback paths from eating minutes each
+    (BENCH_r03 rc=124).
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -104,7 +112,9 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
     # (CLAUDE.md), and the zero-copy kernels carry ~100 MB K stacks
     int_in = jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer)
 
-    @partial(jax.jit, static_argnames=("reps", "path_"))
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="path_")
     def many(p, s, xx, reps, path_):
         def body(i, carry):
             s, xx, acc = carry
@@ -120,17 +130,26 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
         _, _, acc = lax.fori_loop(0, reps, body, (s, xx, acc0))
         return acc
 
-    def tmin(reps):
-        complex(many(params, state, x, reps, path))  # compile + warm
+    def run(reps):
+        return complex(many(params, state, x, jnp.int32(reps), path))
+
+    def tmin(reps, it):
         ts = []
-        for _ in range(iters):
+        for _ in range(it):
             t0 = time.perf_counter()
-            complex(many(params, state, x, reps, path))
+            run(reps)
             ts.append(time.perf_counter() - t0)
         return float(np.min(ts))
 
     r1 = repeat
-    t1 = tmin(r1)
+    run(max(2, repeat // 10))  # compile + warm (one compile for ALL reps)
+    if target_t1 is not None:
+        rp = max(2, repeat // 10)
+        per0 = max(tmin(rp, 2) / rp, 1e-6)  # inflated by RTT/rp: fine
+        r1 = int(np.clip(target_t1 / per0, rp, repeat))
+        if per0 * r1 > 0.6:
+            iters = min(iters, 3)
+    t1 = tmin(r1, iters)
     per_est = max(t1 / r1, 1e-6)
     r2 = r1 + max(r1, min(int(0.5 / per_est), max_extra))
     # the relay/device pace drifts across seconds (identical programs
@@ -139,8 +158,8 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
     # independent slope measurements
     slopes = []
     for _ in range(3):
-        t1 = tmin(r1)
-        t2 = tmin(r2)
+        t1 = tmin(r1, iters)
+        t2 = tmin(r2, iters)
         slopes.append(max((t2 - t1) / (r2 - r1), 1e-9))
     return float(np.median(slopes))
 
