@@ -725,10 +725,19 @@ def _farrow_winsel(params: FIRFarrow, xext, u0, d0, n_max, dt):
     return out.reshape(*lead, n_max)
 
 
+def _hist_tail(history, x, H: int):
+    """Trailing H samples of [history, x] WITHOUT materializing the 32 MB
+    xext concat (the gridsel fused path never forms xext; exp32)."""
+    if H == 0:
+        return x[..., :0]
+    if x.shape[-1] >= H:
+        return x[..., x.shape[-1] - H:]
+    return jnp.concatenate([history.astype(x.dtype), x], axis=-1)[..., -H:]
+
+
 def _arbitrary(params: FIRArbitrary, state, x, path):
     T = params.taps_per_phi
     xlen = x.shape[-1]
-    xext = _extend(state.history, x)
     n_max = idx.max_outputs(params, xlen)
     count, u_next, d0_next = idx.accum_carry(
         params.nphi, params.delta_fx, state.phase, state.deficit, xlen)
@@ -743,8 +752,14 @@ def _arbitrary(params: FIRArbitrary, state, x, path):
                 "use path='winsel' or 'windows'")
         y = arb_gridsel_apply(
             params.gridsel_meta, params.pfb, params.dpfb, params.nphi,
-            params.delta_fx, xext, state.phase, state.deficit, n_max, dt)
-    elif path == "winsel":
+            params.delta_fx, state.history, x, state.phase, state.deficit,
+            n_max, dt)
+        new_state = FilterState(
+            history=_hist_tail(state.history, x, params.history_len),
+            phase=u_next, deficit=d0_next)
+        return y, count, new_state
+    xext = _extend(state.history, x)
+    if path == "winsel":
         y = _arb_winsel(params, xext, state.phase, state.deficit, n_max, dt)
     else:
         inp, phi, frac = idx.accum_indices(
@@ -764,11 +779,27 @@ def _arbitrary(params: FIRArbitrary, state, x, path):
 def _farrow(params: FIRFarrow, state, x, path):
     T = params.taps_per_phi
     xlen = x.shape[-1]
-    xext = _extend(state.history, x)
     n_max = idx.max_outputs(params, xlen)
     count, u_next, d0_next = idx.accum_carry(
         params.nphi, params.delta_fx, state.phase, state.deficit, xlen)
     dt = _out_dtype(params, x)
+    if path == "gridsel":
+        from .gridsel import farrow_gridsel_apply
+
+        if (params.gridsel_meta is None or n_max > params.gridsel_meta.n_cap
+                or dt != jnp.float32):
+            raise ValueError(
+                "no gridsel plan for this configuration/block size/dtype; "
+                "use path='ratgrid' or 'windows'")
+        y = farrow_gridsel_apply(
+            params.gridsel_meta, params.coeffs, params.nphi,
+            params.delta_fx, state.history, x, state.phase, state.deficit,
+            n_max, dt)
+        new_state = FilterState(
+            history=_hist_tail(state.history, x, params.history_len),
+            phase=u_next, deficit=d0_next)
+        return y, count, new_state
+    xext = _extend(state.history, x)
     if path == "ratgrid":
         from .ratgrid import farrow_ratgrid_apply
 
@@ -790,17 +821,6 @@ def _farrow(params: FIRFarrow, state, x, path):
             return _farrow(params, state, x, alt)
         y = farrow_ratgrid_apply(
             params.ratgrid_meta, params.k_ratgrid, params.nphi,
-            params.delta_fx, xext, state.phase, state.deficit, n_max, dt)
-    elif path == "gridsel":
-        from .gridsel import farrow_gridsel_apply
-
-        if (params.gridsel_meta is None or n_max > params.gridsel_meta.n_cap
-                or dt != jnp.float32):
-            raise ValueError(
-                "no gridsel plan for this configuration/block size/dtype; "
-                "use path='ratgrid' or 'windows'")
-        y = farrow_gridsel_apply(
-            params.gridsel_meta, params.coeffs, params.nphi,
             params.delta_fx, xext, state.phase, state.deficit, n_max, dt)
     elif path == "winsel":
         y = _farrow_winsel(params, xext, state.phase, state.deficit, n_max,

@@ -265,6 +265,27 @@ def _tile_x(xext, meta: GridselMeta, num_tiles: int,
     return jnp.concatenate([rows, ovl], axis=-1)
 
 
+def _rows_x(history, x, meta: GridselMeta, num_tiles: int,
+            jt: int | None = None):
+    """(R, M2) row view of [PAD_L zeros, history, x, right zeros] — the
+    fused kernels' input (one XLA pad+reshape pass instead of the
+    materialized overlap tiling + the xext concat; exp32: those HBM
+    round-trips were >50% of gridsel wall time). R covers num_tiles*JT
+    main rows plus the trailing 8-row overlap block."""
+    JT = jt or meta.JT
+    M2 = meta.M2
+    R = num_tiles * JT + 8
+    lead = x.shape[:-1]
+    n_have = PAD_L + history.shape[-1] + x.shape[-1]
+    zl = jnp.zeros((*lead, PAD_L), x.dtype)
+    zr = jnp.zeros((*lead, max(R * M2 - n_have, 0)), x.dtype)
+    xq = jnp.concatenate(
+        [zl, jnp.broadcast_to(history.astype(x.dtype),
+                              (*lead, history.shape[-1])), x, zr],
+        axis=-1)[..., :R * M2]
+    return xq.reshape(*lead, R, M2)
+
+
 def _geometry(meta: GridselMeta, n_max: int, jt: int | None = None):
     jt = jt or meta.JT
     J_total = -(-n_max // meta.L2)
@@ -301,19 +322,23 @@ def _batch_dims(meta: GridselMeta, C: int, n_k: int):
 
 
 def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
-                      delta_fx: int, xext, u0, d0, n_max: int, dt):
+                      delta_fx: int, history, x, u0, d0, n_max: int, dt):
     """Arbitrary resample of one block through the gridsel kernel.
+    Returns a TILE-PADDED output (trailing length num_tiles*JT*L2 >=
+    n_max; filt_block_raw's y_padded contract).
 
+    Single/few channels run the fused-input kernel (in-VMEM window
+    assembly from the (R, M2) row view — no HBM overlap tiling, exp32).
     Batched (channel-lead) inputs with >= 16 channels run the
     batched-channel kernel (one shared K build per tile; channels stacked
     on the matmul row axis) instead of vmapping the single-channel kernel,
     which replicates the placement work per channel."""
-    from .pallas.gridsel import (gridsel_resample_arb,
-                                 gridsel_resample_arb_batch)
+    from .pallas.gridsel import (gridsel_resample_arb_batch,
+                                 gridsel_resample_arb_fused)
 
     L2, M2, eps, JT, sp2, L2p, _, _ = meta
     packed = 2 * L2 <= L2p and eps != 0
-    lead = xext.shape[:-1]
+    lead = x.shape[:-1]
     C = int(np.prod(lead)) if lead else 0
     dims = (_batch_dims(meta, C, n_k=2 if packed else 4)
             if C >= 16 else None)
@@ -321,7 +346,6 @@ def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
     num_tiles, tiles8 = _geometry(meta, n_max, jt)
     pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
                          farrow=False, jt=jt, packed=packed)
-    x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
     T = pfb.shape[0]
     T8 = -(-T // 8) * 8
     bp = jnp.zeros((T8, nphi), jnp.float32).at[:T].set(
@@ -336,6 +360,10 @@ def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
 
     if dims is not None:
         cb, jt_b = dims
+        xext = jnp.concatenate(
+            [jnp.broadcast_to(history.astype(x.dtype),
+                              (*lead, history.shape[-1])), x], axis=-1)
+        x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
         x3 = x2d.reshape(C, *x2d.shape[-2:])
         cpad = -(-C // cb) * cb - C
         if cpad:
@@ -343,31 +371,35 @@ def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
                 [x3, jnp.zeros((cpad, *x3.shape[1:]), x3.dtype)], axis=0)
         y = gridsel_resample_arb_batch(x3, pk, rowc, a0, bp, bd, CB=cb,
                                        JT=jt_b, **kw)
-        out = y[:C].reshape(C, num_tiles * jt_b * L2)[:, :n_max]
-        return out.reshape(*lead, n_max).astype(dt)
+        out = y[:C].reshape(C, num_tiles * jt_b * L2)
+        return out.reshape(*lead, out.shape[-1]).astype(dt)
+
+    xr = _rows_x(history, x.astype(jnp.float32), meta, num_tiles)
 
     def run(xv):
-        y = gridsel_resample_arb(xv, pk, rowc, a0, bp, bd, JT=JT, **kw)
-        return y.reshape(num_tiles * JT * L2)[:n_max]
+        y = gridsel_resample_arb_fused(xv, pk, rowc, a0, bp, bd, JT=JT,
+                                       **kw)
+        return y.reshape(num_tiles * JT * L2)
 
-    if x2d.ndim == 2:
-        return run(x2d).astype(dt)
-    out = jax.vmap(run)(x2d.reshape(-1, *x2d.shape[-2:]))
-    return out.reshape(*lead, n_max).astype(dt)
+    if xr.ndim == 2:
+        return run(xr).astype(dt)
+    out = jax.vmap(run)(xr.reshape(-1, *xr.shape[-2:]))
+    return out.reshape(*lead, out.shape[-1]).astype(dt)
 
 
 def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
-                         delta_fx: int, xext, u0, d0, n_max: int, dt):
-    """Farrow resample of one block through the gridsel kernel. Batched
-    (channel-lead) inputs with >= 16 channels run the batched-channel
-    kernel (see arb_gridsel_apply)."""
-    from .pallas.gridsel import (gridsel_resample_farrow,
-                                 gridsel_resample_farrow_batch)
+                         delta_fx: int, history, x, u0, d0, n_max: int,
+                         dt):
+    """Farrow resample of one block through the gridsel kernel. Returns a
+    TILE-PADDED output (see arb_gridsel_apply). Batched (channel-lead)
+    inputs with >= 16 channels run the batched-channel kernel."""
+    from .pallas.gridsel import (gridsel_resample_farrow_batch,
+                                 gridsel_resample_farrow_fused)
 
     L2, M2, eps, JT, sp2, L2p, _, _ = meta
     P1, T = coeffs.shape
     packed = 2 * L2 <= L2p and eps != 0
-    lead = xext.shape[:-1]
+    lead = x.shape[:-1]
     C = int(np.prod(lead)) if lead else 0
     dims = (_batch_dims(meta, C, n_k=P1 if packed else 2 * P1)
             if C >= 16 else None)
@@ -375,7 +407,6 @@ def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
     num_tiles, tiles8 = _geometry(meta, n_max, jt)
     pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
                          farrow=True, jt=jt, packed=packed)
-    x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
     # lane-pre-broadcast layout: row p*T + t = coeffs[p, t] across all L2p
     # lanes (the kernel's placement stages need (1, L2p) rows — Mosaic has
     # no both-axes vector broadcast)
@@ -392,6 +423,10 @@ def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
 
     if dims is not None:
         cb, jt_b = dims
+        xext = jnp.concatenate(
+            [jnp.broadcast_to(history.astype(x.dtype),
+                              (*lead, history.shape[-1])), x], axis=-1)
+        x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
         x3 = x2d.reshape(C, *x2d.shape[-2:])
         cpad = -(-C // cb) * cb - C
         if cpad:
@@ -399,14 +434,17 @@ def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
                 [x3, jnp.zeros((cpad, *x3.shape[1:]), x3.dtype)], axis=0)
         y = gridsel_resample_farrow_batch(x3, pk, rowc, a0, cf, CB=cb,
                                           JT=jt_b, **kw)
-        out = y[:C].reshape(C, num_tiles * jt_b * L2)[:, :n_max]
-        return out.reshape(*lead, n_max).astype(dt)
+        out = y[:C].reshape(C, num_tiles * jt_b * L2)
+        return out.reshape(*lead, out.shape[-1]).astype(dt)
+
+    xr = _rows_x(history, x.astype(jnp.float32), meta, num_tiles)
 
     def run(xv):
-        y = gridsel_resample_farrow(xv, pk, rowc, a0, cf, JT=JT, **kw)
-        return y.reshape(num_tiles * JT * L2)[:n_max]
+        y = gridsel_resample_farrow_fused(xv, pk, rowc, a0, cf, JT=JT,
+                                          **kw)
+        return y.reshape(num_tiles * JT * L2)
 
-    if x2d.ndim == 2:
-        return run(x2d).astype(dt)
-    out = jax.vmap(run)(x2d.reshape(-1, *x2d.shape[-2:]))
-    return out.reshape(*lead, n_max).astype(dt)
+    if xr.ndim == 2:
+        return run(xr).astype(dt)
+    out = jax.vmap(run)(xr.reshape(-1, *xr.shape[-2:]))
+    return out.reshape(*lead, out.shape[-1]).astype(dt)

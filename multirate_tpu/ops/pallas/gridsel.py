@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import precision as prec
 
 __all__ = ["gridsel_resample_arb", "gridsel_resample_farrow",
+           "gridsel_resample_arb_fused", "gridsel_resample_farrow_fused",
            "gridsel_resample_arb_batch", "gridsel_resample_farrow_batch"]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -61,6 +62,8 @@ def _make_mm(xa, JT: int, M2: int, sp2: int, three_pass: bool):
     3-pass trick: ~2^-16 relative error, at half the MXU passes of
     HIGHEST)."""
     f32 = jnp.float32
+    if "nomm" in _ABLATE:
+        return lambda K: jnp.zeros((JT, K.shape[-1]), f32) + K[0:1, :]
     if not three_pass:
         def mm(K):
             return jnp.dot(xa[:JT, :sp2], K[:sp2], precision=_HI,
@@ -110,6 +113,13 @@ import os
 #   where — k += where(m, row, 0)  (round-3 formulation)
 _PLACE_IMPL = os.environ.get("GRIDSEL_PLACE", "fma")
 
+# TIMING-ONLY stage ablation (exp31; results numerically WRONG — never
+# set outside experiments): "noplace" skips the T placement stages,
+# "nomm" skips the band matmuls, "notap" (arb) skips the one-hot tap
+# vector build, "nosel" skips the crossing-variant select.
+_ABLATE = frozenset(
+    a for a in os.environ.get("GRIDSEL_ABLATE", "").split(",") if a)
+
 
 def _place2(q, rows_p, rows_d, *, T: int, sp2: int, L2p: int):
     """(kP, kD): rows_*[t] placed at row q_col + t of column col. The
@@ -149,9 +159,11 @@ def _place1(q, rows, *, T: int, sp2: int, L2p: int, row0: int = 0):
 
 def _arb_tile(mm, pk, rowc, a0, rowf, bp, bd, *, T: int, nphi: int,
               sp2: int, L2: int, L2p: int, dir_: int, deps: float,
-              packed: bool):
+              packed: bool, place2=None):
     """One tile's arb output (rows, L2p): per-variant K pairs are placed
     and contracted one at a time (see the build-and-consume note)."""
+    if place2 is None:
+        place2 = _place2
     f32 = jnp.float32
     alin = a0[None, :] + rowf * jnp.float32(deps)
     q = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
@@ -161,13 +173,20 @@ def _arb_tile(mm, pk, rowc, a0, rowf, bp, bd, *, T: int, nphi: int,
     def tapvecs(ph_):
         # per-column tap vectors: tiny one-hot matmuls against the
         # VMEM-resident (T128, nphi) banks
+        if "notap" in _ABLATE:
+            one = jnp.zeros((bp.shape[0], L2p), f32) + jnp.float32(1.0)
+            return one, one
         oh = (iop == ph_[None, :]).astype(f32)
         return (jnp.dot(bp, oh, precision=_HI, preferred_element_type=f32),
                 jnp.dot(bd, oh, precision=_HI, preferred_element_type=f32))
 
     def halfy(qv, phv, alin_v):
         tp, td = tapvecs(phv)
-        kP, kD = _place2(qv, tp, td, T=T, sp2=sp2, L2p=L2p)
+        if "noplace" in _ABLATE:
+            kP = jnp.zeros((sp2, L2p), f32) + tp[0:1, :]
+            kD = jnp.zeros((sp2, L2p), f32) + td[0:1, :]
+        else:
+            kP, kD = place2(qv, tp, td, T=T, sp2=sp2, L2p=L2p)
         return mm(kP) + alin_v * mm(kD)
 
     if packed or dir_ == 0:
@@ -176,9 +195,13 @@ def _arb_tile(mm, pk, rowc, a0, rowf, bp, bd, *, T: int, nphi: int,
         yall = halfy(q, ph, alin)
         if dir_ == 0:
             return yall
+        if "nosel" in _ABLATE:
+            return yall
         yB = pltpu.roll(yall, jnp.int32(L2p - L2), axis=1)
         return jnp.where(rowf >= rowc[None, :], yB, yall)
     yA = halfy(q, ph, alin)
+    if "nosel" in _ABLATE:
+        return yA
     qB, phB = _variant_b(q, ph, nphi, dir_)
     yB = halfy(qB, phB, alin - jnp.float32(dir_))
     return jnp.where(rowf >= rowc[None, :], yB, yA)
@@ -186,11 +209,13 @@ def _arb_tile(mm, pk, rowc, a0, rowf, bp, bd, *, T: int, nphi: int,
 
 def _farrow_tile(mm, pk, rowc, a0, rowf, cf, *, T: int, P1: int,
                  nphi: int, sp2: int, L2: int, L2p: int, dir_: int,
-                 deps: float, packed: bool):
+                 deps: float, packed: bool, place1=None):
     """One tile's Farrow output: psi-Horner with each power-slice K placed
     and contracted one at a time. Variant B (unpacked) re-places at
     q + dir_ with the SAME polynomial taps (the plan statically checks
     the q_B placement bound)."""
+    if place1 is None:
+        place1 = _place1
     f32 = jnp.float32
     plin = a0[None, :] + rowf * jnp.float32(deps)
     q = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
@@ -198,7 +223,10 @@ def _farrow_tile(mm, pk, rowc, a0, rowf, cf, *, T: int, P1: int,
     def horner(qv, psi):
         acc = None
         for p in range(P1 - 1, -1, -1):
-            k = _place1(qv, cf, T=T, sp2=sp2, L2p=L2p, row0=p * T)
+            if "noplace" in _ABLATE:
+                k = jnp.zeros((sp2, L2p), f32) + cf[p * T:p * T + 1, :]
+            else:
+                k = place1(qv, cf, T=T, sp2=sp2, L2p=L2p, row0=p * T)
             G = mm(k)
             acc = G if acc is None else acc * psi + G
         return acc
@@ -210,6 +238,8 @@ def _farrow_tile(mm, pk, rowc, a0, rowf, cf, *, T: int, P1: int,
         yB = pltpu.roll(acc, jnp.int32(L2p - L2), axis=1)
         return jnp.where(rowf >= rowc[None, :], yB, acc)
     accA = horner(q, plin)
+    if "nosel" in _ABLATE:
+        return accA
     accB = horner(q + jnp.int32(dir_), plin - jnp.float32(dir_ * nphi))
     return jnp.where(rowf >= rowc[None, :], accB, accA)
 
@@ -246,6 +276,205 @@ def _build_k_farrow(pk, cf, *, T: int, P1: int, sp2: int, L2p: int,
     else:
         ksB = [pltpu.roll(k, jnp.int32(dir_ % sp2), axis=0) for k in ksA]
     return ksA + ksB
+
+
+def _seg_geom(M2: int, sp2: int):
+    """Segmented K layout of the fused kernels: logical band row v maps to
+    physical row v (v < M2) or M2r + (v - M2) (v >= M2), with
+    M2r = ceil8(M2). Segment 1 contracts against the tile's own (JT, M2)
+    rows, segment 2 against the next row's leading sp2 - M2 lanes — the
+    CLAUDE.md "sum per-part matmuls" form, which needs no lane-offset
+    widening in VMEM (Mosaic cannot lower misaligned lane concats or
+    in-kernel scatter; interpret mode does not catch either)."""
+    M2r = -(-M2 // 8) * 8
+    ovl = sp2 - M2
+    ovr = -(-ovl // 8) * 8
+    return M2r, ovl, M2r + ovr
+
+
+def _make_mm_fused(main_ref, nxt_ref, *, JT: int, M2: int, sp2: int,
+                   three_pass: bool):
+    """K (SP2R, L2p) -> (JT, L2p) contraction of the fused-input tile.
+
+    X1 = the tile's (JT, M2) rows; X2 = the same rows shifted one row up
+    (sublane concat + roll), lanes [0, sp2-M2): row j's band window
+    [j*M2, j*M2 + sp2) = X1[j] ++ X2[j]. Replaces the HBM-materialized
+    _tile_x overlap tiling (43 MB written + re-read per 8M block — >50%
+    of round-3 gridsel wall time, exp32)."""
+    f32 = jnp.float32
+    M2r, ovl, _ = _seg_geom(M2, sp2)
+    X1 = main_ref[...]                                    # (JT, M2)
+    z = jnp.concatenate([X1, nxt_ref[...]], axis=0)       # (JT+8, M2)
+    # row r -> z[r+1]: jnp.roll semantics, shift n-1 (must be >= 0)
+    X2 = pltpu.roll(z, jnp.int32(JT + 8 - 1), axis=0)[:JT, :ovl]
+    if "nomm" in _ABLATE:
+        return lambda K: jnp.zeros((JT, K.shape[-1]), f32) + K[0:1, :]
+    if not three_pass:
+        def mm(K):
+            return (jnp.dot(X1, K[:M2], precision=_HI,
+                            preferred_element_type=f32)
+                    + jnp.dot(X2, K[M2r:M2r + ovl], precision=_HI,
+                              preferred_element_type=f32))
+        return mm
+    x1h, x1l = prec.split_bf16_kernel(X1)
+    x2h, x2l = prec.split_bf16_kernel(X2)
+
+    def mm(K):
+        k1 = K[:M2]
+        k2 = K[M2r:M2r + ovl]
+        k1h, k1l = prec.split_bf16_kernel(k1)
+        k2h, k2l = prec.split_bf16_kernel(k2)
+        return (jnp.dot(x1h, k1h, preferred_element_type=f32)
+                + jnp.dot(x1h, k1l, preferred_element_type=f32)
+                + jnp.dot(x1l, k1h, preferred_element_type=f32)
+                + jnp.dot(x2h, k2h, preferred_element_type=f32)
+                + jnp.dot(x2h, k2l, preferred_element_type=f32)
+                + jnp.dot(x2l, k2h, preferred_element_type=f32))
+    return mm
+
+
+def _phys_rows(v, M2: int, M2r: int):
+    """Map logical band rows to the segmented physical layout."""
+    if M2r == M2:
+        return v
+    return v + jnp.where(v >= jnp.int32(M2), jnp.int32(M2r - M2),
+                         jnp.int32(0))
+
+
+def _seg_place2(M2: int, sp2: int):
+    """_place2 for the segmented layout (same stage count/cost; the row
+    remap is one cheap (1, L2p) vector op per stage)."""
+    M2r, _, SP2R = _seg_geom(M2, sp2)
+
+    def place2(q, rows_p, rows_d, *, T, sp2, L2p):  # noqa: ARG001
+        f32 = jnp.float32
+        iou = jax.lax.broadcasted_iota(jnp.int32, (SP2R, L2p), 0)
+        z = jnp.float32(0.0)
+        kP = jnp.zeros((SP2R, L2p), f32)
+        kD = jnp.zeros((SP2R, L2p), f32)
+        for t in range(T):
+            vp = _phys_rows(q + jnp.int32(t), M2, M2r)
+            if _PLACE_IMPL == "fma":
+                m_f = (iou == vp[None, :]).astype(f32)
+                kP = kP + m_f * rows_p[t:t + 1, :]
+                kD = kD + m_f * rows_d[t:t + 1, :]
+            else:
+                m = iou == vp[None, :]
+                kP = kP + jnp.where(m, rows_p[t:t + 1, :], z)
+                kD = kD + jnp.where(m, rows_d[t:t + 1, :], z)
+        return kP, kD
+    return place2
+
+
+def _seg_place1(M2: int, sp2: int):
+    M2r, _, SP2R = _seg_geom(M2, sp2)
+
+    def place1(q, rows, *, T, sp2, L2p, row0=0):  # noqa: ARG001
+        f32 = jnp.float32
+        iou = jax.lax.broadcasted_iota(jnp.int32, (SP2R, L2p), 0)
+        z = jnp.float32(0.0)
+        k = jnp.zeros((SP2R, L2p), f32)
+        for t in range(T):
+            vp = _phys_rows(q + jnp.int32(t), M2, M2r)
+            if _PLACE_IMPL == "fma":
+                m_f = (iou == vp[None, :]).astype(f32)
+                k = k + m_f * rows[row0 + t:row0 + t + 1, :]
+            else:
+                m = iou == vp[None, :]
+                k = k + jnp.where(m, rows[row0 + t:row0 + t + 1, :], z)
+        return k
+    return place1
+
+
+def _kernel_arb_fused(pk_ref, rowc_ref, a0_ref, main, nxt, bp_ref, bd_ref,
+                      o_ref, *, JT: int, M2: int, sp2: int,
+                      T: int, nphi: int, L2: int, L2p: int, dir_: int,
+                      deps: float, three_pass: bool, packed: bool = False):
+    f32 = jnp.float32
+    sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
+    mm = _make_mm_fused(main, nxt, JT=JT, M2=M2, sp2=sp2,
+                        three_pass=three_pass)
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
+    _, _, SP2R = _seg_geom(M2, sp2)
+    y = _arb_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
+                  rowf, bp_ref[...], bd_ref[...], T=T, nphi=nphi, sp2=SP2R,
+                  L2=L2, L2p=L2p, dir_=dir_, deps=deps, packed=packed,
+                  place2=_seg_place2(M2, sp2))
+    o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
+
+
+def _kernel_farrow_fused(pk_ref, rowc_ref, a0_ref, main, nxt, cf_ref,
+                         o_ref, *, JT: int, M2: int, sp2: int,
+                         T: int, nphi: int, L2: int, L2p: int, P1: int,
+                         dir_: int, deps: float, three_pass: bool,
+                         packed: bool = False):
+    f32 = jnp.float32
+    sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
+    mm = _make_mm_fused(main, nxt, JT=JT, M2=M2, sp2=sp2,
+                        three_pass=three_pass)
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
+    _, _, SP2R = _seg_geom(M2, sp2)
+    y = _farrow_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
+                     rowf, cf_ref[...], T=T, P1=P1, nphi=nphi, sp2=SP2R,
+                     L2=L2, L2p=L2p, dir_=dir_, deps=deps, packed=packed,
+                     place1=_seg_place1(M2, sp2))
+    o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
+
+
+def _launch_fused(kern, packs, xrows, banks, meta_t, num_tiles, interpret):
+    """xrows: (R, M2) row view of the padded stream, R >= num_tiles*JT + 8.
+    Two stacked row-block specs feed each tile: its (JT, M2) rows plus the
+    following (8, M2) rows (JT % 8 == 0 keeps both block-aligned)."""
+    JT, M2, L2, L2p = meta_t
+    pk, rowc, a0 = packs
+    g8 = lambda j: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
+    jt8 = JT // 8
+    bank_specs = [pl.BlockSpec(b.shape, lambda j: (j * 0, j * 0))
+                  for b in banks]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L2), jnp.float32),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, L2p), g8),
+            pl.BlockSpec((8, L2p), g8),
+            pl.BlockSpec((8, L2p), g8),
+            pl.BlockSpec((JT, M2), lambda j: (j, j * 0)),
+            pl.BlockSpec((8, M2), lambda j: ((j + 1) * jt8, j * 0)),
+            *bank_specs,
+        ],
+        out_specs=pl.BlockSpec((JT, L2), lambda j: (j, j * 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pk, rowc, a0, xrows, xrows, *banks)
+
+
+def gridsel_resample_arb_fused(xrows, pk, rowc, a0, bp, bd, *, JT, M2, sp2,
+                               T, nphi, L2, L2p, dir_, deps, num_tiles,
+                               three_pass=True, packed=False,
+                               interpret=False):
+    """Fused-input single-channel arb resample: consumes the (R, M2) row
+    view directly (no HBM overlap tiling); two-segment band matmul."""
+    kern = functools.partial(_kernel_arb_fused, JT=JT, M2=M2,
+                             sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
+                             dir_=dir_, deps=deps, three_pass=three_pass,
+                             packed=packed)
+    return _launch_fused(kern, (pk, rowc, a0), xrows, (bp, bd),
+                         (JT, M2, L2, L2p), num_tiles, interpret)
+
+
+def gridsel_resample_farrow_fused(xrows, pk, rowc, a0, cf, *, JT, M2, sp2,
+                                  T, nphi, L2, L2p, P1, dir_, deps,
+                                  num_tiles, three_pass=True, packed=False,
+                                  interpret=False):
+    """Fused-input single-channel Farrow resample over the (R, M2) rows."""
+    kern = functools.partial(_kernel_farrow_fused, JT=JT, M2=M2,
+                             sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
+                             P1=P1, dir_=dir_, deps=deps,
+                             three_pass=three_pass, packed=packed)
+    return _launch_fused(kern, (pk, rowc, a0), xrows, (cf,),
+                         (JT, M2, L2, L2p), num_tiles, interpret)
 
 
 def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, bp_ref, bd_ref, o_ref, *,
