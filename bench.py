@@ -35,6 +35,10 @@ BASELINE_MSPS = 1e6 / 0.0569 / 1e6  # reference Msamples/s (~17.57)
 # v5e (TPU v5 lite): ~819 GB/s HBM. light-speed input rate = BW/(4*(1+rate)).
 HBM_GBPS = 819.0
 REPEAT = 50
+# float32 oracle-RMS tripwire: the worst committed row (arb gridsel,
+# BENCH_r03 6.03e-5) sits 1.7x under the 1e-4 budget; fail the bench at
+# 8e-5 so one more "optimization" cannot silently bust it (VERDICT r3 #7)
+RMS_BUDGET = 8e-5
 
 
 def log(*a):
@@ -170,14 +174,18 @@ def main():
 
     def bench_config(name, p, spec, hh, xx, paths, iters=4,
                      state_dtype=jnp.float32, dequant=None, x_check=None,
-                     itemsize_out=None):
+                     itemsize_out=None, rms_budget=RMS_BUDGET):
         """One sidecar row. For quantized modes pass the quantized ``xx``
         and its ``state_dtype``, plus ``x_check`` (the quantized version of
         x_np[:200k] so the oracle diff measures quantization error);
         ``dequant(y_dev)`` maps raw kernel output (e.g. int32 accumulators)
         back to float for the oracle check. Roofline uses the actual input
         itemsize (bf16 halves traffic); ``itemsize_out`` overrides the
-        output byte width when it differs (int8 mode writes int32)."""
+        output byte width when it differs (int8 mode writes int32).
+        ``rms_budget``: accuracy tripwire — a float32 row whose oracle RMS
+        exceeds it is recorded in sidecar["accuracy_failures"] and fails
+        the bench process at exit (VERDICT r3 item 7; quantized rows pass
+        None, their RMS is dominated by intentional quantization error)."""
         st = mr.init_state(p, xx.shape[:-1], state_dtype)
         best, best_path = 0.0, None
         for path in paths:
@@ -239,6 +247,12 @@ def main():
         log(f"  [{name}] best={best:.0f} Msps ({entry['roofline_pct']}% "
             f"roofline, {entry.get('pct_of_copy_ceiling', '-')}% of measured"
             f" ceiling) oracle-rms={rms:.2e}")
+        if rms_budget is not None and rms > rms_budget:
+            entry["accuracy_fail"] = True
+            sidecar.setdefault("accuracy_failures", []).append(
+                {"name": name, "path": best_path, "oracle_rel_rms": rms,
+                 "budget": rms_budget})
+            log(f"  [{name}] ACCURACY FAIL: {rms:.2e} > {rms_budget:.0e}")
         sidecar["configs"].append(entry)
         _write_sidecar()
         return entry
@@ -324,7 +338,8 @@ def main():
         bench_config("rational_147_160_bf16",
                      mr.make_kernel(hb, ratio=ratio), ratio, h, xb, paths,
                      state_dtype=jnp.bfloat16,
-                     x_check=jnp.asarray(x_np[:200_000], jnp.bfloat16))
+                     x_check=jnp.asarray(x_np[:200_000], jnp.bfloat16),
+                     rms_budget=None)
         from multirate_tpu.ops import quant
 
         hq, s_h = quant.quantize_taps(h)
@@ -335,7 +350,7 @@ def main():
                      else ("supercycle",), state_dtype=jnp.int8,
                      dequant=lambda y: y.astype(np.float64) * (s_x * s_h),
                      x_check=quant.quantize_signal(x_np[:200_000], s_x)[0],
-                     itemsize_out=4)
+                     itemsize_out=4, rms_budget=None)
 
         h147 = np.asarray(
             mr.firdes(147, 0.2, mr.kaiser, beta=7.0), dtype=np.float32)
@@ -404,6 +419,12 @@ def main():
         f" budget {BUDGET:.0f}s)")
     # LAST stdout line == the driver's headline JSON (survives tail capture)
     print(headline_json, flush=True)
+    # accuracy tripwire LAST — the full perf record is already on disk and
+    # the headline line printed; a silent accuracy regression (e.g. a
+    # "optimization" that busts the 8e-5 float32 budget) still turns the
+    # bench red instead of hiding in a sidecar field nobody reads
+    fails = sidecar.get("accuracy_failures")
+    assert not fails, f"oracle RMS over budget: {fails}"
 
 
 if __name__ == "__main__":
