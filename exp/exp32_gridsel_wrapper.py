@@ -1,4 +1,8 @@
-"""Split gridsel time into {bare kernel} vs {wrapper data movement}.
+"""HISTORICAL (round 4): measures the pre-fused gridsel wrapper stages.
+The non-fused kernels (gridsel_resample_arb/farrow) were deleted after the
+fused-input kernels replaced them; run this script at git rev <= 38ddd7d.
+
+Split gridsel time into {bare kernel} vs {wrapper data movement}.
 
 Times, at 8M inputs on TPU:
   full    — production filt_block_raw path="gridsel" (exp30 number)

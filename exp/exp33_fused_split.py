@@ -87,13 +87,10 @@ def main():
                   deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
                   packed=packed, interpret=False)
         if name == "arb":
-            T8 = -(-p.taps_per_phi // 8) * 8
-            bp = jnp.zeros((T8, p.nphi), jnp.float32).at[
-                :p.taps_per_phi].set(p.pfb.astype(jnp.float32))
-            bd = jnp.zeros((T8, p.nphi), jnp.float32).at[
-                :p.taps_per_phi].set(p.dpfb.astype(jnp.float32))
+            dirv = 0 if eps == 0 else (1 if eps > 0 else -1)
+            taprows = G._tap_rows(p.pfb, p.dpfb, pk, p.nphi, dirv, packed)
             kern = lambda xv: gridsel_resample_arb_fused(  # noqa: E731
-                xv, pk, rowc, a0, bp, bd, JT=JT, **kw)
+                xv, pk, rowc, a0, taprows, JT=JT, **kw)
         else:
             P1, T = p.coeffs.shape
             PT8 = -(-(P1 * T) // 8) * 8

@@ -268,22 +268,23 @@ def _tile_x(xext, meta: GridselMeta, num_tiles: int,
 def _rows_x(history, x, meta: GridselMeta, num_tiles: int,
             jt: int | None = None):
     """(R, M2) row view of [PAD_L zeros, history, x, right zeros] — the
-    fused kernels' input (one XLA pad+reshape pass instead of the
-    materialized overlap tiling + the xext concat; exp32: those HBM
-    round-trips were >50% of gridsel wall time). R covers num_tiles*JT
-    main rows plus the trailing 8-row overlap block."""
+    fused kernels' input. R covers num_tiles*JT main rows plus the
+    trailing 8-row overlap block.
+
+    Formulation matters: jnp.pad of [history, x] lowers to one efficient
+    materialization (0.113 ms for the 32 MB 8M block, exp38), where the
+    4-piece zeros/history/x/zeros concat this replaced cost 0.285 ms —
+    prep was ~30% of the whole fused-path wall time."""
     JT = jt or meta.JT
     M2 = meta.M2
     R = num_tiles * JT + 8
     lead = x.shape[:-1]
-    n_have = PAD_L + history.shape[-1] + x.shape[-1]
-    zl = jnp.zeros((*lead, PAD_L), x.dtype)
-    zr = jnp.zeros((*lead, max(R * M2 - n_have, 0)), x.dtype)
-    xq = jnp.concatenate(
-        [zl, jnp.broadcast_to(history.astype(x.dtype),
-                              (*lead, history.shape[-1])), x, zr],
-        axis=-1)[..., :R * M2]
-    return xq.reshape(*lead, R, M2)
+    hb = jnp.broadcast_to(history.astype(x.dtype),
+                          (*lead, history.shape[-1]))
+    xq = jnp.concatenate([hb, x], axis=-1)
+    pr = R * M2 - PAD_L - xq.shape[-1]
+    widths = [(0, 0)] * (xq.ndim - 1) + [(PAD_L, max(pr, 0))]
+    return jnp.pad(xq, widths)[..., :R * M2].reshape(*lead, R, M2)
 
 
 def _geometry(meta: GridselMeta, n_max: int, jt: int | None = None):
@@ -321,6 +322,43 @@ def _batch_dims(meta: GridselMeta, C: int, n_k: int):
     return None if best is None else (best[1], best[2])
 
 
+def _tap_rows(pfb, dpfb, pk, nphi: int, dir_: int, packed: bool):
+    """(tiles8, NV*T8, L2p) f32 host-gathered per-tile tap rows.
+
+    Row block i*T8 + t, lane col = bank[t, phi_col] for (bank, variant)
+    in [(pfb, A), (dpfb, A)] (+ [(pfb, B), (dpfb, B)] unpacked). Built
+    with one XLA gather per bank/variant (~10-20 MB per 8M block, ~0.06
+    ms of DMA at the measured ceiling) — round 4 moved this OUT of the
+    kernel: the in-kernel one-hot tap matmuls cost 0.29 ms of the 0.90 ms
+    arb e2e regardless of their pass count (exp31/exp35; tiny matmuls
+    interleaved between band matmuls stall the MXU)."""
+    f32 = jnp.float32
+    T = pfb.shape[0]
+    T8 = -(-T // 8) * 8
+    # stacked (2*T8, nphi) bank: [pfb; dpfb], T8-padded rows
+    B = jnp.zeros((2 * T8, nphi), f32)
+    B = B.at[:T].set(pfb.astype(f32)).at[T8:T8 + T].set(dpfb.astype(f32))
+    phiA = jax.lax.shift_right_logical(pk, jnp.int32(10))
+    phis = [phiA]
+    if not (packed or dir_ == 0):
+        phR = phiA + jnp.int32(dir_)
+        phiB = jnp.where(phR == jnp.int32(nphi), jnp.int32(0),
+                         jnp.where(phR < jnp.int32(0),
+                                   jnp.int32(nphi - 1), phR))
+        phis.append(phiB)
+    iop = jnp.arange(nphi, dtype=jnp.int32)
+    parts = []
+    for phv in phis:
+        # one-hot matmul, NOT a gather (gathers are the slowest primitive
+        # on this chip — the take()-based first cut cost 0.46 ms/block);
+        # HIGHEST keeps the select exact (ops/precision.py SELECT class)
+        oh = (iop[None, :, None] == phv[:, None, :]).astype(f32)
+        parts.append(jax.vmap(
+            lambda o: jnp.dot(B, o, precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=f32))(oh))
+    return jnp.concatenate(parts, axis=1)
+
+
 def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
                       delta_fx: int, history, x, u0, d0, n_max: int, dt):
     """Arbitrary resample of one block through the gridsel kernel.
@@ -347,16 +385,12 @@ def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
     pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
                          farrow=False, jt=jt, packed=packed)
     T = pfb.shape[0]
-    T8 = -(-T // 8) * 8
-    bp = jnp.zeros((T8, nphi), jnp.float32).at[:T].set(
-        pfb.astype(jnp.float32))
-    bd = jnp.zeros((T8, nphi), jnp.float32).at[:T].set(
-        dpfb.astype(jnp.float32))
+    dir_ = 0 if eps == 0 else (1 if eps > 0 else -1)
+    taprows = _tap_rows(pfb, dpfb, pk, nphi, dir_, packed)
     interp = jax.default_backend() != "tpu"
     kw = dict(M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
-              dir_=(0 if eps == 0 else (1 if eps > 0 else -1)),
-              deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
-              packed=packed, interpret=interp)
+              dir_=dir_, deps=float(eps * 2.0 ** -32),
+              num_tiles=num_tiles, packed=packed, interpret=interp)
 
     if dims is not None:
         cb, jt_b = dims
@@ -369,7 +403,7 @@ def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
         if cpad:
             x3 = jnp.concatenate(
                 [x3, jnp.zeros((cpad, *x3.shape[1:]), x3.dtype)], axis=0)
-        y = gridsel_resample_arb_batch(x3, pk, rowc, a0, bp, bd, CB=cb,
+        y = gridsel_resample_arb_batch(x3, pk, rowc, a0, taprows, CB=cb,
                                        JT=jt_b, **kw)
         out = y[:C].reshape(C, num_tiles * jt_b * L2)
         return out.reshape(*lead, out.shape[-1]).astype(dt)
@@ -377,7 +411,7 @@ def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
     xr = _rows_x(history, x.astype(jnp.float32), meta, num_tiles)
 
     def run(xv):
-        y = gridsel_resample_arb_fused(xv, pk, rowc, a0, bp, bd, JT=JT,
+        y = gridsel_resample_arb_fused(xv, pk, rowc, a0, taprows, JT=JT,
                                        **kw)
         return y.reshape(num_tiles * JT * L2)
 

@@ -41,8 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import precision as prec
 
-__all__ = ["gridsel_resample_arb", "gridsel_resample_farrow",
-           "gridsel_resample_arb_fused", "gridsel_resample_farrow_fused",
+__all__ = ["gridsel_resample_arb_fused", "gridsel_resample_farrow_fused",
            "gridsel_resample_arb_batch", "gridsel_resample_farrow_batch"]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -157,31 +156,30 @@ def _place1(q, rows, *, T: int, sp2: int, L2p: int, row0: int = 0):
     return k
 
 
-def _arb_tile(mm, pk, rowc, a0, rowf, bp, bd, *, T: int, nphi: int,
+def _arb_tile(mm, pk, rowc, a0, rowf, taprows, *, T: int, nphi: int,
               sp2: int, L2: int, L2p: int, dir_: int, deps: float,
               packed: bool, place2=None):
     """One tile's arb output (rows, L2p): per-variant K pairs are placed
-    and contracted one at a time (see the build-and-consume note)."""
+    and contracted one at a time (see the build-and-consume note).
+
+    ``taprows`` = (tpA, tdA[, tpB, tdB]): per-tile (T8, L2p) f32 tap row
+    matrices GATHERED ON THE HOST (ops/gridsel._tap_rows) and DMA'd with
+    the tile — row t, lane col = pfb/dpfb[t, phi_col] for the tile's
+    variant-A (and, unpacked, variant-B) bank indices. Round-4 history:
+    the in-kernel one-hot tap build cost 0.29 ms of the 0.90 ms arb e2e
+    (exp31 notap), and converting its 6-pass HIGHEST dots to exact
+    2-pass pre-split bf16 dots recovered NOTHING (exp35: 0.8957 vs
+    0.8956 ms) — the cost was the tiny (16, nphi) @ (nphi, 128) matmuls
+    interleaved between (JT, 256) band matmuls at all, not the pass
+    count. Host rows add ~10 MB/block of DMA (~0.06 ms at the measured
+    ceiling) and remove every small matmul from the kernel."""
     if place2 is None:
         place2 = _place2
     f32 = jnp.float32
     alin = a0[None, :] + rowf * jnp.float32(deps)
     q = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
-    ph = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
-    iop = jax.lax.broadcasted_iota(jnp.int32, (nphi, L2p), 0)
 
-    def tapvecs(ph_):
-        # per-column tap vectors: tiny one-hot matmuls against the
-        # VMEM-resident (T128, nphi) banks
-        if "notap" in _ABLATE:
-            one = jnp.zeros((bp.shape[0], L2p), f32) + jnp.float32(1.0)
-            return one, one
-        oh = (iop == ph_[None, :]).astype(f32)
-        return (jnp.dot(bp, oh, precision=_HI, preferred_element_type=f32),
-                jnp.dot(bd, oh, precision=_HI, preferred_element_type=f32))
-
-    def halfy(qv, phv, alin_v):
-        tp, td = tapvecs(phv)
+    def halfy(qv, tp, td, alin_v):
         if "noplace" in _ABLATE:
             kP = jnp.zeros((sp2, L2p), f32) + tp[0:1, :]
             kD = jnp.zeros((sp2, L2p), f32) + td[0:1, :]
@@ -191,19 +189,22 @@ def _arb_tile(mm, pk, rowc, a0, rowf, bp, bd, *, T: int, nphi: int,
 
     if packed or dir_ == 0:
         # packed: every lane carries its own resolved variant (B lanes'
-        # alpha pre-offset by _pack); dir_ == 0: variant B never occurs
-        yall = halfy(q, ph, alin)
+        # phi and alpha pre-offset by _pack); dir_ == 0: no variant B
+        yall = halfy(q, taprows[0], taprows[1], alin)
         if dir_ == 0:
             return yall
         if "nosel" in _ABLATE:
             return yall
         yB = pltpu.roll(yall, jnp.int32(L2p - L2), axis=1)
         return jnp.where(rowf >= rowc[None, :], yB, yall)
-    yA = halfy(q, ph, alin)
+    yA = halfy(q, taprows[0], taprows[1], alin)
     if "nosel" in _ABLATE:
         return yA
-    qB, phB = _variant_b(q, ph, nphi, dir_)
-    yB = halfy(qB, phB, alin - jnp.float32(dir_))
+    # variant B: bank steps by dir_ with wraparound into q (the tap rows
+    # for phi+dir_ come from the host; only q's carry stays in-kernel)
+    ph = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
+    qB, _ = _variant_b(q, ph, nphi, dir_)
+    yB = halfy(qB, taprows[2], taprows[3], alin - jnp.float32(dir_))
     return jnp.where(rowf >= rowc[None, :], yB, yA)
 
 
@@ -386,7 +387,15 @@ def _seg_place1(M2: int, sp2: int):
     return place1
 
 
-def _kernel_arb_fused(pk_ref, rowc_ref, a0_ref, main, nxt, bp_ref, bd_ref,
+def _taprows_of(tr_ref, packed: bool, dir_: int):
+    """Slice the per-tile (1, NV*T8, L2p) host tap-row block into NV
+    (T8, L2p) matrices: (tpA, tdA) packed/driftless, else + (tpB, tdB)."""
+    nmat = 2 if (packed or dir_ == 0) else 4
+    T8 = tr_ref.shape[1] // nmat
+    return tuple(tr_ref[0, i * T8:(i + 1) * T8, :] for i in range(nmat))
+
+
+def _kernel_arb_fused(pk_ref, rowc_ref, a0_ref, main, nxt, tr_ref,
                       o_ref, *, JT: int, M2: int, sp2: int,
                       T: int, nphi: int, L2: int, L2p: int, dir_: int,
                       deps: float, three_pass: bool, packed: bool = False):
@@ -397,9 +406,9 @@ def _kernel_arb_fused(pk_ref, rowc_ref, a0_ref, main, nxt, bp_ref, bd_ref,
     rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
     _, _, SP2R = _seg_geom(M2, sp2)
     y = _arb_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
-                  rowf, bp_ref[...], bd_ref[...], T=T, nphi=nphi, sp2=SP2R,
-                  L2=L2, L2p=L2p, dir_=dir_, deps=deps, packed=packed,
-                  place2=_seg_place2(M2, sp2))
+                  rowf, _taprows_of(tr_ref, packed, dir_), T=T, nphi=nphi,
+                  sp2=SP2R, L2=L2, L2p=L2p, dir_=dir_, deps=deps,
+                  packed=packed, place2=_seg_place2(M2, sp2))
     o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
 
 
@@ -421,14 +430,19 @@ def _kernel_farrow_fused(pk_ref, rowc_ref, a0_ref, main, nxt, cf_ref,
     o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
 
 
-def _launch_fused(kern, packs, xrows, banks, meta_t, num_tiles, interpret):
+def _launch_fused(kern, packs, xrows, banks, meta_t, num_tiles, interpret,
+                  tile_banks=()):
     """xrows: (R, M2) row view of the padded stream, R >= num_tiles*JT + 8.
     Two stacked row-block specs feed each tile: its (JT, M2) rows plus the
-    following (8, M2) rows (JT % 8 == 0 keeps both block-aligned)."""
+    following (8, M2) rows (JT % 8 == 0 keeps both block-aligned).
+    ``tile_banks``: (tiles8, R_, L2p) arrays DMA'd per tile (host tap
+    rows); ``banks``: whole-array VMEM residents (Farrow cf)."""
     JT, M2, L2, L2p = meta_t
     pk, rowc, a0 = packs
     g8 = lambda j: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
     jt8 = JT // 8
+    tb_specs = [pl.BlockSpec((1, *b.shape[1:]), lambda j: (j, j * 0, j * 0))
+                for b in tile_banks]
     bank_specs = [pl.BlockSpec(b.shape, lambda j: (j * 0, j * 0))
                   for b in banks]
     return pl.pallas_call(
@@ -441,27 +455,31 @@ def _launch_fused(kern, packs, xrows, banks, meta_t, num_tiles, interpret):
             pl.BlockSpec((8, L2p), g8),
             pl.BlockSpec((JT, M2), lambda j: (j, j * 0)),
             pl.BlockSpec((8, M2), lambda j: ((j + 1) * jt8, j * 0)),
+            *tb_specs,
             *bank_specs,
         ],
         out_specs=pl.BlockSpec((JT, L2), lambda j: (j, j * 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(pk, rowc, a0, xrows, xrows, *banks)
+    )(pk, rowc, a0, xrows, xrows, *tile_banks, *banks)
 
 
-def gridsel_resample_arb_fused(xrows, pk, rowc, a0, bp, bd, *, JT, M2, sp2,
-                               T, nphi, L2, L2p, dir_, deps, num_tiles,
-                               three_pass=True, packed=False,
+def gridsel_resample_arb_fused(xrows, pk, rowc, a0, taprows, *, JT, M2,
+                               sp2, T, nphi, L2, L2p, dir_, deps,
+                               num_tiles, three_pass=True, packed=False,
                                interpret=False):
     """Fused-input single-channel arb resample: consumes the (R, M2) row
-    view directly (no HBM overlap tiling); two-segment band matmul."""
+    view directly (no HBM overlap tiling); two-segment band matmul.
+    ``taprows``: (tiles8, NV*T8, L2p) f32 host-gathered tap rows
+    (ops/gridsel._tap_rows)."""
     kern = functools.partial(_kernel_arb_fused, JT=JT, M2=M2,
                              sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
                              dir_=dir_, deps=deps, three_pass=three_pass,
                              packed=packed)
-    return _launch_fused(kern, (pk, rowc, a0), xrows, (bp, bd),
-                         (JT, M2, L2, L2p), num_tiles, interpret)
+    return _launch_fused(kern, (pk, rowc, a0), xrows, (),
+                         (JT, M2, L2, L2p), num_tiles, interpret,
+                         tile_banks=(taprows,))
 
 
 def gridsel_resample_farrow_fused(xrows, pk, rowc, a0, cf, *, JT, M2, sp2,
@@ -475,94 +493,6 @@ def gridsel_resample_farrow_fused(xrows, pk, rowc, a0, cf, *, JT, M2, sp2,
                              three_pass=three_pass, packed=packed)
     return _launch_fused(kern, (pk, rowc, a0), xrows, (cf,),
                          (JT, M2, L2, L2p), num_tiles, interpret)
-
-
-def _kernel_arb(pk_ref, rowc_ref, a0_ref, xa, bp_ref, bd_ref, o_ref, *,
-                JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
-                L2p: int, dir_: int, deps: float, three_pass: bool,
-                packed: bool = False):
-    f32 = jnp.float32
-    sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
-    mm = _make_mm(xa[...], JT, M2, sp2, three_pass)
-    rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
-    y = _arb_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
-                  rowf, bp_ref[...], bd_ref[...], T=T, nphi=nphi, sp2=sp2,
-                  L2=L2, L2p=L2p, dir_=dir_, deps=deps, packed=packed)
-    o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
-
-
-def _kernel_farrow(pk_ref, rowc_ref, a0_ref, xa, cf_ref, o_ref, *,
-                   JT: int, M2: int, sp2: int, T: int, nphi: int, L2: int,
-                   L2p: int, P1: int, dir_: int, deps: float,
-                   three_pass: bool, packed: bool = False):
-    # Farrow: taps are a single polynomial in the continuous phase psi
-    # (coeffs fitted across ALL banks, ops/pfb.pfb2pnfb), so the only
-    # crossing is the window step (w crossing a multiple of D): variant B
-    # is q +- 1 with psi jumping by -+ nphi.
-    f32 = jnp.float32
-    sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
-    mm = _make_mm(xa[...], JT, M2, sp2, three_pass)
-    rowf = jax.lax.broadcasted_iota(jnp.int32, (JT, L2p), 0).astype(f32)
-    y = _farrow_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
-                     rowf, cf_ref[...], T=T, P1=P1, nphi=nphi, sp2=sp2,
-                     L2=L2, L2p=L2p, dir_=dir_, deps=deps, packed=packed)
-    o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
-
-
-def _launch(kern, packs, xblocks, banks, meta, num_tiles, interpret):
-    JT, M2p, L2, L2p = meta
-    pk, rowc, a0 = packs
-    x2d = xblocks
-    g8 = lambda j: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
-    bank_specs = [pl.BlockSpec(b.shape, lambda j: (j * 0, j * 0))
-                  for b in banks]
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L2), jnp.float32),
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((8, L2p), g8),
-            pl.BlockSpec((8, L2p), g8),
-            pl.BlockSpec((8, L2p), g8),
-            pl.BlockSpec((JT, M2p), lambda j: (j, j * 0)),
-            *bank_specs,
-        ],
-        out_specs=pl.BlockSpec((JT, L2), lambda j: (j, j * 0)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(pk, rowc, a0, x2d, *banks)
-
-
-def gridsel_resample_arb(x2d, pk, rowc, a0, bp, bd, *, JT, M2, sp2, T,
-                         nphi, L2, L2p, dir_, deps, num_tiles,
-                         three_pass=True, packed=False, interpret=False):
-    """One-channel arbitrary resample over OVERLAP-tiled ``x2d`` (R, M2p)
-    (row j = x[j*M2 : j*M2 + M2p], M2p = ceil128(sp2) — ops/gridsel._tile_x).
-
-    pk/rowc/a0: (tiles8, L2p) per-(tile, column) packed indices / exact
-    crossing rows / alpha at tile start (see ops/gridsel._pack).
-    Returns (num_tiles*JT, L2) float32; caller flattens and slices.
-    """
-    kern = functools.partial(_kernel_arb, JT=JT, M2=M2, sp2=sp2, T=T,
-                             nphi=nphi, L2=L2, L2p=L2p, dir_=dir_,
-                             deps=deps, three_pass=three_pass,
-                             packed=packed)
-    return _launch(kern, (pk, rowc, a0), x2d, (bp, bd),
-                   (JT, x2d.shape[-1], L2, L2p), num_tiles, interpret)
-
-
-def gridsel_resample_farrow(x2d, pk, rowc, a0, cf, *, JT, M2, sp2, T,
-                            nphi, L2, L2p, P1, dir_, deps, num_tiles,
-                            three_pass=True, packed=False,
-                            interpret=False):
-    """One-channel Farrow resample over overlap-tiled ``x2d`` (R, M2p)."""
-    kern = functools.partial(_kernel_farrow, JT=JT, M2=M2, sp2=sp2, T=T,
-                             nphi=nphi, L2=L2, L2p=L2p, P1=P1, dir_=dir_,
-                             deps=deps, three_pass=three_pass,
-                             packed=packed)
-    return _launch(kern, (pk, rowc, a0), x2d, (cf,),
-                   (JT, x2d.shape[-1], L2, L2p), num_tiles, interpret)
 
 
 # --------------------------------------------------------------------------- #
@@ -589,7 +519,7 @@ def _batch_rowf(CB, JTP, L2p):
         jnp.int32(JTP - 1)).astype(jnp.float32)
 
 
-def _kernel_arb_batch(pk_ref, rowc_ref, a0_ref, xa, bp_ref, bd_ref,
+def _kernel_arb_batch(pk_ref, rowc_ref, a0_ref, xa, tr_ref,
                       o_ref, *, CB: int, JT: int, M2: int, sp2: int, T: int,
                       nphi: int, L2: int, L2p: int, dir_: int, deps: float,
                       packed: bool = False):
@@ -598,7 +528,8 @@ def _kernel_arb_batch(pk_ref, rowc_ref, a0_ref, xa, bp_ref, bd_ref,
     X0 = xa[...].reshape(CB * JT, M2p)
     mm = _make_mm(X0, CB * JT, M2, sp2, True)
     y = _arb_tile(mm, pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
-                  _batch_rowf(CB, JT, L2p), bp_ref[...], bd_ref[...],
+                  _batch_rowf(CB, JT, L2p), _taprows_of(tr_ref, packed,
+                                                        dir_),
                   T=T, nphi=nphi, sp2=sp2, L2=L2, L2p=L2p, dir_=dir_,
                   deps=deps, packed=packed)
     for c in range(CB):
@@ -621,11 +552,15 @@ def _kernel_farrow_batch(pk_ref, rowc_ref, a0_ref, xa, cf_ref, o_ref, *,
         o_ref[c, :, :] = y[c * JT:(c + 1) * JT, :L2].astype(o_ref.dtype)
 
 
-def _launch_batch(kern, packs, x3d, banks, meta_t, num_tiles, CB, interpret):
+def _launch_batch(kern, packs, x3d, banks, meta_t, num_tiles, CB,
+                  interpret, tile_banks=()):
     JT, M2p, L2, L2p = meta_t
     pk, rowc, a0 = packs
     C = x3d.shape[0]
     p8 = lambda cb, j: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
+    tb_specs = [pl.BlockSpec((1, *b.shape[1:]),
+                             lambda cb, j: (j, j * 0, j * 0))
+                for b in tile_banks]
     bank_specs = [pl.BlockSpec(b.shape, lambda cb, j: (j * 0, j * 0))
                   for b in banks]
     return pl.pallas_call(
@@ -638,6 +573,7 @@ def _launch_batch(kern, packs, x3d, banks, meta_t, num_tiles, CB, interpret):
             pl.BlockSpec((8, L2p), p8),
             pl.BlockSpec((8, L2p), p8),
             pl.BlockSpec((CB, JT, M2p), lambda cb, j: (cb, j, j * 0)),
+            *tb_specs,
             *bank_specs,
         ],
         out_specs=pl.BlockSpec((CB, JT, L2),
@@ -645,23 +581,23 @@ def _launch_batch(kern, packs, x3d, banks, meta_t, num_tiles, CB, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(pk, rowc, a0, x3d, *banks)
+    )(pk, rowc, a0, x3d, *tile_banks, *banks)
 
 
-def gridsel_resample_arb_batch(x3d, pk, rowc, a0, bp, bd, *, CB, JT, M2,
+def gridsel_resample_arb_batch(x3d, pk, rowc, a0, taprows, *, CB, JT, M2,
                                sp2, T, nphi, L2, L2p, dir_, deps,
                                num_tiles, packed=False, interpret=False):
     """Batched arbitrary resample over overlap-tiled ``x3d`` (C, R, M2p);
-    all channels share the packed per-tile index state. C % CB == 0 and
-    JT a power of two (callers pad/choose). Returns
-    (C, num_tiles*JT, L2) float32."""
+    all channels share the packed per-tile index state AND the host tap
+    rows (built once, DMA'd per tile). C % CB == 0 and JT a power of two
+    (callers pad/choose). Returns (C, num_tiles*JT, L2) float32."""
     assert x3d.shape[0] % CB == 0 and (JT & (JT - 1)) == 0
     kern = functools.partial(_kernel_arb_batch, CB=CB, JT=JT, M2=M2,
                              sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
                              dir_=dir_, deps=deps, packed=packed)
-    return _launch_batch(kern, (pk, rowc, a0), x3d, (bp, bd),
+    return _launch_batch(kern, (pk, rowc, a0), x3d, (),
                          (JT, x3d.shape[-1], L2, L2p), num_tiles, CB,
-                         interpret)
+                         interpret, tile_banks=(taprows,))
 
 
 def gridsel_resample_farrow_batch(x3d, pk, rowc, a0, cf, *, CB, JT, M2,
