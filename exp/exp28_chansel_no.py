@@ -12,7 +12,7 @@ from functools import partial
 
 import numpy as np
 
-NOS = (128, 256, 384)
+NOS = (128, 256, 512)
 
 
 def log(*a):

@@ -51,13 +51,6 @@ _QBITS = 13        # tile-relative window start (< UW <= 8192)
 _MAX_TILES = 1 << 13
 
 
-def _split16(v):
-    """Host/XLA-level (hi, lo) bf16 split (banks, built once)."""
-    from .. import precision as prec
-
-    return prec.split_bf16(v)
-
-
 def _ksplit16(v):
     """In-kernel (hi, lo) bf16 split: hardware RTNE demote (4 vreg-ops
     vs split_bf16's 9 — safe inside Mosaic only, ops/precision.py)."""
@@ -86,24 +79,21 @@ class V4Geometry:
 
 
 def v4_geometry(nphi, delta_fx, T, n_out, C, farrow=False):
-    """Geometry or None. The arb packing gives the phase a 5-bit field
-    (bits 13-17, below a14 at 18): nphi <= 32 is the hard limit. Farrow's
-    19-bit psi prep is safe for any nphi the kernels accept (rem << 19 <
-    2^63 up to nphi = 4096 > the 2048 construction cap)."""
-    if not farrow and nphi > 32:
-        return None
+    """Geometry or None. Any nphi: the host tap build removed phi/alpha
+    from the packed word (round 4), so the old nphi <= 32 arb packing
+    limit is gone — pk carries only the 13-bit tile-relative q."""
     g = V4Geometry(nphi, delta_fx, T, n_out, C)
     return g if g.ok else None
 
 
 def _prep_indices(geo, nphi, delta_fx, u0, farrow):
-    """(packed (tiles8, _NO) int32, bases (tiles8,) int32).
+    """(q_blk (tiles8, _NO) int32, bases (tiles8,) int32, rem int64).
 
-    packed: q relative to the tile's 128-aligned block base (13 bits) |
-    phase (5 bits) | alpha at 2^-14 (arb), or | psi fraction at 19 bits
-    (Farrow) — all quantizations inside the 1e-4 budget. Exact two-level
-    int64 carry math as select3. bases: per-tile x block index (units of
-    128 lanes into the padded x)."""
+    q_blk: window start relative to the tile's 128-aligned block base
+    (13 bits). rem: the exact int64 sub-sample remainder feeding the
+    host tap builders (_host_taps_arb / _host_taps_farrow). Exact
+    two-level int64 carry math as select3. bases: per-tile x block
+    index (units of 128 lanes into the padded x)."""
     D = geo.D
     tiles8 = geo.tiles8
     qd, rd = divmod(delta_fx, D)
@@ -120,53 +110,52 @@ def _prep_indices(geo, nphi, delta_fx, u0, farrow):
                      geo.xblocks - geo.uw // _LANES).astype(jnp.int32)
     q_blk = jnp.clip(q_abs - bases.astype(jnp.int64)[:, None] * _LANES,
                      0, (1 << _QBITS) - 1).astype(jnp.int32)
-    if farrow:
-        hi = ((rem << 19) // D).astype(jnp.int32)       # 19-bit psi frac
-        return q_blk | (hi << _QBITS), bases
-    phi = (rem >> PHASE_FRAC_BITS).astype(jnp.int32)
-    a14 = ((rem & ((1 << PHASE_FRAC_BITS) - 1))
-           >> (PHASE_FRAC_BITS - 14)).astype(jnp.int32)
-    return q_blk | (phi << _QBITS) | (a14 << 18), bases
+    return q_blk, bases, rem
 
 
-def _k4_common(pk, banks_or_coeffs, T, NPHI, farrow, P1=0):
-    """(qrel (NO,) int32, tapsT (T, NO) f32) for one tile."""
+def _host_taps_arb(pfb, dpfb, rem, nphi: int):
+    """(tiles8, T128, _NO) f32 per-output taps, built ON THE HOST.
+
+    taps = pfb[:, phi] + alpha * dpfb[:, phi] with phi/alpha from the
+    exact int64 rem — full 2^-32 alpha (the old in-kernel build
+    quantized alpha to 14 bits). One-hot batched matmul, NOT a gather
+    (the chip's slowest primitive); HIGHEST keeps the select exact.
+    Round-4 lesson from the gridsel kernels (exp31/35): tiny per-tile
+    matmuls interleaved between the kernel's big band matmuls cost
+    ~1 us/tile regardless of pass count — hoist them out."""
     f32 = jnp.float32
-    qrel = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
-    if farrow:
-        u19 = jax.lax.shift_right_logical(pk, jnp.int32(_QBITS))
-        psi = jnp.float32(1.0) + u19.astype(f32) * jnp.float32(
-            NPHI * 2.0 ** -19)
-        # powersT (P1, NO): psi^p rows
-        p1pad = -(-P1 // 8) * 8
-        rows = [jnp.ones((1, psi.shape[0]), f32)]
-        pr = psi[None, :]
-        for _ in range(P1 - 1):
-            rows.append(rows[-1] * pr)
-        for _ in range(p1pad - P1):
-            rows.append(jnp.zeros((1, psi.shape[0]), f32))
-        powersT = jnp.concatenate(rows, axis=0)
-        ph, plo = _ksplit16(powersT)
-        chT, clT = banks_or_coeffs                # (T128, P1pad) bf16
-        tapsT = (jnp.dot(chT, ph, preferred_element_type=f32)
-                 + jnp.dot(clT, ph, preferred_element_type=f32)
-                 + jnp.dot(chT, plo, preferred_element_type=f32))
-        return qrel, tapsT                      # (T128, NO)
-    # full 5-bit field mask (nphi-1 is only a valid mask for pow2 nphi)
-    phi = jax.lax.bitwise_and(
-        jax.lax.shift_right_logical(pk, jnp.int32(_QBITS)),
-        jnp.int32(31))
-    alpha = jax.lax.shift_right_logical(pk, jnp.int32(18)).astype(f32) \
-        * jnp.float32(2.0 ** -14)
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (NPHI, phi.shape[0]), 0)
-    ohp = (iota_p == phi[None, :]).astype(jnp.bfloat16)   # (NPHI, NO)
-    ph, pl_, dh, dl = banks_or_coeffs           # (T128, NPHI) hi/lo
-    tp = (jnp.dot(ph, ohp, preferred_element_type=f32)
-          + jnp.dot(pl_, ohp, preferred_element_type=f32))
-    td = (jnp.dot(dh, ohp, preferred_element_type=f32)
-          + jnp.dot(dl, ohp, preferred_element_type=f32))
-    tapsT = tp + alpha[None, :] * td            # (T128, NO)
-    return qrel, tapsT
+    T = pfb.shape[0]
+    T128 = -(-T // 8) * 8
+    D_PHI = 1 << PHASE_FRAC_BITS
+    phi = (rem >> PHASE_FRAC_BITS).astype(jnp.int32)      # (x, NO)
+    alpha = (rem & (D_PHI - 1)).astype(f32) * f32(2.0 ** -PHASE_FRAC_BITS)
+    bp = jnp.zeros((T128, nphi), f32).at[:T].set(pfb.astype(f32))
+    bd = jnp.zeros((T128, nphi), f32).at[:T].set(dpfb.astype(f32))
+    iop = jnp.arange(nphi, dtype=jnp.int32)
+    oh = (iop[None, :, None] == phi[:, None, :]).astype(f32)
+    hi = jax.lax.Precision.HIGHEST
+    mmv = jax.vmap(lambda o: (
+        jnp.dot(bp, o, precision=hi, preferred_element_type=f32),
+        jnp.dot(bd, o, precision=hi, preferred_element_type=f32)))
+    tp, td = mmv(oh)
+    return tp + alpha[:, None, :] * td
+
+
+def _host_taps_farrow(coeffs, rem, nphi: int):
+    """(tiles8, T128, _NO) f32 Farrow taps ON THE HOST: the polynomial
+    sum_p c[p, t] * psi^p evaluated at the exact per-output psi (f64
+    from the int64 rem — the old in-kernel build quantized psi to 19
+    bits). See _host_taps_arb for why this is not done in-kernel."""
+    f32 = jnp.float32
+    P1, T = coeffs.shape
+    T128 = -(-T // 8) * 8
+    D = nphi << PHASE_FRAC_BITS
+    psi = (1.0 + rem.astype(jnp.float64) * (nphi / D)).astype(f32)
+    powers = jnp.stack([psi ** p for p in range(P1)], axis=1)
+    cT = jnp.zeros((T128, P1), f32).at[:T].set(coeffs.T.astype(f32))
+    hi = jax.lax.Precision.HIGHEST
+    return jax.vmap(lambda pw: jnp.dot(cT, pw, precision=hi,
+                                       preferred_element_type=f32))(powers)
 
 
 def _k4_kernel(bases_ref, pk_ref, *rest, T: int, NPHI: int, farrow: bool,
@@ -174,20 +163,19 @@ def _k4_kernel(bases_ref, pk_ref, *rest, T: int, NPHI: int, farrow: bool,
     f32 = jnp.float32
     nxb = UW // _LANES
     xparts = rest[:nxb]
-    bk, o_ref = rest[nxb], rest[nxb + 1]
+    taps_ref, o_ref = rest[nxb], rest[nxb + 1]
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
     xw = jnp.concatenate([xp[...] for xp in xparts], axis=1)  # (C, UW)
-    if farrow:
-        banks = (bk[0:T128, :], bk[T128:2 * T128, :])
-    else:
-        banks = (bk[0:T128, :], bk[T128:2 * T128, :],
-                 bk[2 * T128:3 * T128, :], bk[3 * T128:, :])
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, _NO), 0)
-    pk = pk_ref[sub, :]
-    qw, tapsT = _k4_common(pk, banks, T, NPHI, farrow, P1)
+    qw = jax.lax.bitwise_and(pk_ref[sub, :],
+                             jnp.int32((1 << _QBITS) - 1))
+    tapsT = taps_ref[0]                         # (T128, NO) host-built
     xh, xl = _ksplit16(xw)
     k3 = jnp.zeros((UW, _NO), f32)
     for t in range(T):
+        # where-select placement: the exp20 fma form was A/B'd here in
+        # round 4 and measured WORSE (10.7 vs 11.8 Gsps on farrow_64ch)
+        # — the gridsel finding does not transfer to this kernel
         m = iota_u == (qw + jnp.int32(t))[None, :]
         k3 = k3 + jnp.where(m, tapsT[t:t + 1, :], jnp.float32(0.0))
     kh, kl = _ksplit16(k3)
@@ -203,7 +191,7 @@ def _k4_kernel(bases_ref, pk_ref, *rest, T: int, NPHI: int, farrow: bool,
     o_ref[:, :] = acc
 
 
-def _launch(geo, packed, bases, banks, x2, n_out, C, interpret, static):
+def _launch(geo, packed, bases, tapsT, x2, n_out, C, interpret, static):
     need = geo.xblocks * _LANES
     xp = jnp.pad(x2, ((0, 0), (0, max(0, need - x2.shape[1]))))[:, :need]
     nxb = geo.uw // _LANES
@@ -221,14 +209,15 @@ def _launch(geo, packed, bases, banks, x2, n_out, C, interpret, static):
             in_specs=[
                 pl.BlockSpec((8, _NO), grid8),
                 *[pl.BlockSpec((C, _LANES), xmap(i)) for i in range(nxb)],
-                pl.BlockSpec(banks.shape, lambda j, b: (j * 0, j * 0)),
+                pl.BlockSpec((1, *tapsT.shape[1:]),
+                             lambda j, b: (j, j * 0, j * 0)),
             ],
             out_specs=pl.BlockSpec((C, _NO), lambda j, b: (j * 0, j)),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(bases, packed, *([xp] * nxb), banks)
+    )(bases, packed, *([xp] * nxb), tapsT)
     return out[:, :n_out]
 
 
@@ -241,18 +230,13 @@ def chan_resample_v4(x2, u0, pfb, dpfb, nphi: int, delta_fx: int,
     geo = v4_geometry(nphi, delta_fx, T, n_out, C)
     if geo is None:
         raise ValueError("v4 geometry inapplicable")
-    packed, bases = _prep_indices(geo, nphi, delta_fx, u0, farrow=False)
+    packed, bases, rem = _prep_indices(geo, nphi, delta_fx, u0,
+                                       farrow=False)
     t128 = -(-T // 8) * 8
-    bp = jnp.zeros((t128, nphi), jnp.float32).at[:T].set(
-        pfb.astype(jnp.float32))
-    bd = jnp.zeros((t128, nphi), jnp.float32).at[:T].set(
-        dpfb.astype(jnp.float32))
-    ph, plo = _split16(bp)
-    dh, dlo = _split16(bd)
-    banks = jnp.concatenate([ph, plo, dh, dlo], axis=0)  # (4*t128, nphi)
+    tapsT = _host_taps_arb(pfb, dpfb, rem, nphi)
     static = dict(T=T, NPHI=nphi, farrow=False, P1=0, T128=t128,
                   UW=geo.uw)
-    return _launch(geo, packed, bases, banks, x2.astype(jnp.float32),
+    return _launch(geo, packed, bases, tapsT, x2.astype(jnp.float32),
                    n_out, C, interpret, static)
 
 
@@ -264,14 +248,11 @@ def chan_resample_farrow_v4(x2, u0, coeffs, nphi: int, delta_fx: int,
     geo = v4_geometry(nphi, delta_fx, T, n_out, C)
     if geo is None:
         raise ValueError("v4 geometry inapplicable")
-    packed, bases = _prep_indices(geo, nphi, delta_fx, u0, farrow=True)
+    packed, bases, rem = _prep_indices(geo, nphi, delta_fx, u0,
+                                       farrow=True)
     t128 = -(-T // 8) * 8
-    p1pad = -(-P1 // 8) * 8
-    cpadT = jnp.zeros((t128, p1pad), jnp.float32).at[:T, :P1].set(
-        coeffs.T.astype(jnp.float32))
-    ch, cl = _split16(cpadT)
-    banks = jnp.concatenate([ch, cl], axis=0)            # (2*t128, P1pad)
+    tapsT = _host_taps_farrow(coeffs, rem, nphi)
     static = dict(T=T, NPHI=nphi, farrow=True, P1=P1, T128=t128,
                   UW=geo.uw)
-    return _launch(geo, packed, bases, banks, x2.astype(jnp.float32),
+    return _launch(geo, packed, bases, tapsT, x2.astype(jnp.float32),
                    n_out, C, interpret, static)

@@ -421,10 +421,12 @@ def test_gridsel_batch_streaming_chunked(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("C", [3, 12, 130])
+@pytest.mark.parametrize("C", [3, 12, 130, 272])
 def test_chansel_any_channel_count(rng, C):
     """chansel generalization: channel padding to the 8-sublane quantum
-    and 128-channel chunking (ROADMAP completeness item)."""
+    and 128-channel chunking (ROADMAP completeness item). C=272 covers
+    >2 chunks with a ragged final chunk (VERDICT r3 weak #8: nothing
+    exercised C > 256)."""
     h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
          ).astype(np.float32)
     xb = rng.standard_normal((C, 4000)).astype(np.float32)
