@@ -335,11 +335,14 @@ def main():
         # int8 quarters it (4x).
         hb = np.asarray(jnp.asarray(h, jnp.bfloat16))
         xb = jnp.asarray(x_np, jnp.bfloat16)
+        # bf16 mode reads bf16 but writes f32 accumulators (mirrors the
+        # int8 mode's int32 outputs; ops/compute._out_dtype) — the honest
+        # roofline counts 4-byte outputs
         bench_config("rational_147_160_bf16",
                      mr.make_kernel(hb, ratio=ratio), ratio, h, xb, paths,
                      state_dtype=jnp.bfloat16,
                      x_check=jnp.asarray(x_np[:200_000], jnp.bfloat16),
-                     rms_budget=None)
+                     rms_budget=None, itemsize_out=4)
         from multirate_tpu.ops import quant
 
         hq, s_h = quant.quantize_taps(h)

@@ -58,7 +58,17 @@ __all__ = ["filt_block_raw"]
 
 def _out_dtype(params, x):
     tap = params.taps_rev if hasattr(params, "taps_rev") else params.pfb
-    return jnp.promote_types(tap.dtype, x.dtype)
+    dt = jnp.promote_types(tap.dtype, x.dtype)
+    if dt == jnp.bfloat16:
+        # bf16 quantized mode emits f32 ACCUMULATORS, mirroring the int8
+        # mode's exact int32 outputs: the MXU already accumulates in f32,
+        # a bf16 output store costs 1.6x the whole kernel in Mosaic
+        # (16, 128)-tile relayout (exp43: 0.125 -> 0.078 ms bare), and
+        # re-quantizing throws the accumulated precision away. Halved
+        # traffic on the INPUT side is the mode's bandwidth win;
+        # re-quantization of outputs belongs to the cascade stage.
+        return jnp.float32
+    return dt
 
 
 def _extend(history, x):
@@ -324,7 +334,8 @@ def _zc_plan(params, x, dt, n_max):
             and params.k_zc_hi is not None):
         return None
     want = jnp.float32 if params.k_zc_lo is not None else params.k_zc_hi.dtype
-    if x.dtype != want or dt != want:
+    out_want = jnp.float32 if want == jnp.bfloat16 else want
+    if x.dtype != want or dt != out_want:
         return None
     pfb2d, L, M, g = _band_geometry(params)
     groups = zc_groups(pfb2d.shape[0], L, M, g, params.h_min,

@@ -492,6 +492,9 @@ def build_k_zc_stack(pfb2d: np.ndarray, L: int, M: int, group: int,
 
 # Experiment knob: force the zc kernel's tile rows (exp/exp9_zc_sweep.py).
 ZC_JT_OVERRIDE: int | None = None
+# Experiment knob: force the zc kernel's OUTPUT dtype (exp41/exp43 bf16
+# store-path A/B); None = follow the input dtype (int8 -> int32).
+ZC_OUT_DTYPE_OVERRIDE = None
 
 
 def zc_geometry(L: int, M: int, n_out: int, xlen: int, JT: int | None = None,
@@ -821,7 +824,10 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
     cost a full extra HBM read+write pass over y).
     """
     S = zc_s(x.dtype)
-    odt = jnp.int32 if x.dtype == jnp.int8 else x.dtype
+    odt = ZC_OUT_DTYPE_OVERRIDE or (
+        jnp.int32 if x.dtype == jnp.int8
+        else jnp.float32 if x.dtype == jnp.bfloat16
+        else x.dtype)
     JT, num_tiles, T_ok, R = geo
     xlen = x.shape[0]
     x2d = x[: R * M].reshape(R, M)

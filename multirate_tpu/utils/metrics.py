@@ -125,8 +125,10 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
             upd = ((last & 1).astype(xx.dtype) if int_in
                    else (last * 1e-30).astype(xx.dtype))
             xx = xx.at[..., 0].add(upd)
-            return (s, xx, acc + last)
-        acc0 = jnp.zeros((), jnp.int32 if int_in else x.dtype)
+            # cast: y's dtype may differ from x's (bf16 mode emits f32)
+            return (s, xx, acc + last.astype(acc.dtype))
+        acc0 = jnp.zeros((), jnp.int32 if int_in else
+                         jnp.promote_types(x.dtype, jnp.float32))
         _, _, acc = lax.fori_loop(0, reps, body, (s, xx, acc0))
         return acc
 
