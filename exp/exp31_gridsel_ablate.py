@@ -11,7 +11,7 @@ import subprocess
 import sys
 import time
 
-ABLATIONS = ["", "noplace", "nomm", "notap", "nosel", "noplace,nomm,notap"]
+ABLATIONS = ["", "nomm", "nosel", "nomm,nosel"]
 
 CHILD = r"""
 import os, time

@@ -25,7 +25,13 @@ Round-4 root-cause of the round-3 "1.66x at n_t=2" spike (exp29):
    (one unsharded + one of each shard count per round) so drift cancels.
 
 With both fixes the shipped step measures 0.94-1.08x across n_t in
-{1,2,4,8} (<= the 1.1 bar), and the decomposition (exp29_scaling_decomp)
+{1,2,4,8} (<= the 1.1 bar; standalone round-4 rerun: max 1.088). NOTE:
+bench.py runs this OVERLAPPED with the TPU sweep to fit its wall budget
+— the TPU process's host-side threads contend for the 4 cores and can
+inflate the recorded max by ~0.03-0.05 (BENCH_r04 sidecar shows 1.124
+in-bench vs 1.088 standalone, same commit); compare against the
+artifact_floor row before reading a regression into the in-bench
+figure. The decomposition (exp29_scaling_decomp)
 attributes the residual: a bare shard_map "floor" with no halo and fresh
 state already costs ~0.90-0.96x (8 spin-waiting XLA device threads on 4
 cores inflate process CPU — a virtual-mesh artifact, also the reason
