@@ -324,6 +324,35 @@ def test_gridsel_farrow_matches_windows(rng, rate):
     np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_gridsel_randomized_rates(rng):
+    """Plan-search fuzz: 12 random rates in (0.2, 4.5) through the
+    gridsel fused kernels vs the windows oracle. Every convergent-scale
+    geometry the plan picks (packed / unpacked / eps-sign / degraded to
+    no-plan) must either match the oracle or raise the documented
+    no-plan ValueError — never silently diverge."""
+    h = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
+         ).astype(np.float32)
+    x = rng.standard_normal(6000).astype(np.float32)
+    rates = 0.2 + 4.3 * rng.random(12)
+    planned = 0
+    for rate in rates:
+        rate = float(rate)
+        for extra in ((), (4,)):
+            ref = np.asarray(mr.filt(h, x, rate, 32, *extra,
+                                     path="windows"))
+            try:
+                y = np.asarray(mr.filt(h, x, rate, 32, *extra,
+                                       path="gridsel"))
+            except ValueError as e:
+                assert "plan" in str(e), (rate, e)
+                continue
+            planned += 1
+            assert y.shape == ref.shape, rate
+            np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4,
+                                       err_msg=f"rate={rate}")
+    assert planned >= 12  # the plan must cover most of the rate range
+
+
 def test_gridsel_streaming_chunked(rng):
     """Chunked streaming through gridsel (traced u0/deficit in the packed
     index prep) == whole-vector, for arb and Farrow, odd chunk size."""
