@@ -16,8 +16,10 @@ JT*|eps| <= 2^32), so the tile's resample is ONE matmul
 
     Y (JT, L2) = X (JT, 2*M2) @ K (2*M2, L2-cols)
 
-against a tap matrix K built IN-KERNEL per tile (chansel-style
-compare-placement, T VPU stages, amortized over JT*L2 outputs) with TWO
+against a tap matrix K built IN-KERNEL per tile (T compare-placement
+VPU stages over HOST-gathered tap rows, amortized over JT*L2 outputs;
+round 4 moved the tap-row build out — in-kernel one-hot matmuls cost
+0.29 ms/block regardless of pass count) with TWO
 variants per column — before/after the crossing — selected per output row
 by an exact crossing-row mask. The interpolation alpha is affine in the
 row index (alpha = alpha0_r + row*eps/2^32, wrapped by the same mask), so
@@ -497,10 +499,10 @@ def gridsel_resample_farrow_fused(xrows, pk, rowc, a0, cf, *, JT, M2, sp2,
 
 # --------------------------------------------------------------------------- #
 # Batched-channel variants: C channels SHARE one FilterState (scalar
-# phase/deficit), so the per-tile K build — the one-hot tap matmuls and the
-# T compare-placement stages, which dominate the single-channel kernel and
-# are replicated per channel under vmap — is done ONCE and amortized: only
-# the x-window matmuls scale with C. Channels are stacked on the matmul's
+# phase/deficit), so the per-tile K build — the T compare-placement stages
+# over the host-gathered tap rows, which dominate the single-channel
+# kernel and are replicated per channel under vmap — is done ONCE and
+# amortized: only the x-window matmuls scale with C. Channels are stacked on the matmul's
 # ROW axis: the (CB, JT, M2p) overlap-tiled block collapses (leading-dim
 # reshape, a pure relabeling) to one (CB*JT, M2p) operand, so each MXU
 # pass runs at CB*JT rows instead of C separate (JT, M2p) calls. JT must
