@@ -53,7 +53,7 @@ def main():
 
         def rms_of(three_pass):
             def launch(kern, packs, xrows, banks, meta_t, num_tiles,
-                       interpret):
+                       interpret, **kwargs):
                 import functools
 
                 # kern is functools.partial(_kernel_*_fused, ...,
@@ -61,7 +61,7 @@ def main():
                 kw = dict(kern.keywords, three_pass=three_pass)
                 k2 = functools.partial(kern.func, **kw)
                 return orig_launch(k2, packs, xrows, banks, meta_t,
-                                   num_tiles, interpret)
+                                   num_tiles, interpret, **kwargs)
 
             PG._launch_fused = launch
             try:
