@@ -908,10 +908,10 @@ def _auto_path(params, x):
         dt = _out_dtype(params, x)
         f32_path = (dt == jnp.float32 or dt == jnp.complex64)
         # gridsel (rational-grid tile-adaptive fused kernel) dominates for
-        # few channels (measured v5e single-channel: arb 7.7 / Farrow 6.1
-        # Gsps vs winsel-v3 0.29 / ratgrid 2.3); wide batches amortize the
-        # chansel kernel's shared tap matrix better. Complex64 runs the
-        # same f32 paths planar-wise (filt_block_raw).
+        # few channels (measured v5e single-channel, round 4: arb 12.4 /
+        # Farrow 8.8 Gsps vs winsel-v3 0.27 / ratgrid 1.6); wide batches
+        # amortize the chansel kernel's shared tap matrix better.
+        # Complex64 runs the same f32 paths planar-wise (filt_block_raw).
         if (on_tpu and n_batch < 8 and f32_path
                 and params.gridsel_meta is not None
                 and idx.max_outputs(params, x.shape[-1])
@@ -919,8 +919,9 @@ def _auto_path(params, x):
             return "gridsel"
     if isinstance(params, FIRFarrow):
         # ratgrid (static banded matmul, no gathers): the few-channel
-        # fallback when no gridsel plan exists (measured v5e: 2265 vs
-        # winsel 246 Msps single-channel).
+        # fallback when no gridsel plan exists (round-4 exp50: 1573 vs
+        # winsel 274 Msps single-channel; 5x BEHIND gridsel wherever a
+        # gridsel plan exists, so it never outranks it).
         if (params.ratgrid_meta is not None
                 and n_batch < 8
                 and idx.max_outputs(params, x.shape[-1])
