@@ -299,3 +299,76 @@ def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
         slopes.append(max((b - a) / (r2 - repeat), 1e-9))
     sec = float(np.median(slopes))
     return 2 * 4 * (T * JT * W) / sec / 1e9
+
+
+def stream_expand_gbps(ratio: int = 4, n_floats: int = 8_000_000,
+                       repeat: int = 10, iters: int = 3,
+                       seed: int = 0) -> float:
+    """Write-heavy (1:ratio) stream bandwidth (GB/s, read+write counted):
+    the pattern-matched ceiling for interpolator-shaped kernels, which
+    write ``ratio`` output samples per input.
+
+    Round-4 measurement (32 MB in / 128 MB out, HBM-resident): ~724 GB/s
+    vs ~327 for the balanced stream_copy_gbps — write-dominated streams
+    sustain MORE than the balanced copy on this stack, so interp-family
+    rows have real headroom that the balanced-ceiling column understates
+    (an earlier 8 MB-input attempt measured a 2.6 TB/s VMEM artifact;
+    ROADMAP round-3 finding 1 applies to write probes too)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = 128
+    R = (n_floats // W // 512) * 512
+    x = jnp.asarray(np.random.default_rng(seed)
+                    .standard_normal((R, W)).astype(np.float32))
+
+    def kern(xa, o_ref):
+        v = xa[...]
+        o_ref[:, :] = jnp.concatenate([v] * ratio, axis=1)
+
+    def one(xv):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((R, ratio * W), jnp.float32),
+            grid=(R // 512,),
+            in_specs=[pl.BlockSpec((512, W), lambda j: (j, j * 0))],
+            out_specs=pl.BlockSpec((512, ratio * W), lambda j: (j, j * 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=jax.default_backend() != "tpu",
+        )(xv)
+
+    @partial(jax.jit, static_argnames="reps")
+    def call(xx, reps):
+        def body(i, carry):
+            xx, acc = carry
+            y = one(xx)
+            last = y[-1, -1]
+            xx = xx.at[0, 0].add((last * 1e-30).astype(xx.dtype))
+            return (xx, acc + last)
+        _, acc = lax.fori_loop(0, reps, body, (xx, jnp.float32(0)))
+        return acc
+
+    def tmin(reps):
+        float(call(x, reps))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(call(x, reps))
+            ts.append(time.perf_counter() - t0)
+        return float(np.min(ts))
+
+    t1 = tmin(repeat)
+    per = max(t1 / repeat, 1e-7)
+    r2 = repeat + max(repeat, min(int(0.5 / per), 20000))
+    slopes = []
+    for _ in range(3):
+        a, b = tmin(repeat), tmin(r2)
+        slopes.append(max((b - a) / (r2 - repeat), 1e-9))
+    sec = float(np.median(slopes))
+    return (1 + ratio) * 4 * (R * W) / sec / 1e9
