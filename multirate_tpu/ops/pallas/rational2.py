@@ -443,6 +443,17 @@ def _ksplit(v):
             else prec.split_bf16_trunc(v))
 
 
+# TIMING-ONLY stage ablation for the zc v4 body (results numerically
+# WRONG for ablated stages — never set outside experiments; mirrors
+# gridsel's GRIDSEL_ABLATE): "nomm" skips the chunk matmuls, "nostrip"
+# feeds every chunk from the u=S row view (no boundary-strip concat or
+# roll), "nosplit" contracts a single bf16 pass instead of three.
+import os as _os
+
+_ZC_ABLATE = frozenset(
+    a for a in _os.environ.get("ZC_ABLATE", "").split(",") if a)
+
+
 def _v4_ok(gM: int, groups: tuple) -> bool:
     """True when the chunked roll-free assembly applies (all band starts
     and the row width on the 128-lane vreg grid)."""
@@ -638,6 +649,9 @@ def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
     else:
         (k_ref, o_ref) = rest
     f32 = jnp.float32
+    if "nobody" in _ZC_ABLATE:               # timing-only: bare structure
+        o_ref[:, :] = jnp.ones(o_ref.shape, o_ref.dtype)
+        return
     total = JT + 2 * S
     wide = _zc_compute_dtype(in_dt)          # 32-bit dtype rolls operate in
     if three_pass:
@@ -659,7 +673,7 @@ def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
     def chunk(u, lm):
         key = (u, lm)
         if key not in chunks:
-            if u == S:
+            if u == S or "nostrip" in _ZC_ABLATE:
                 xs = f_xa(lm)
             else:
                 xs = pltpu.roll(strip(lm), jnp.int32(total - u),
@@ -671,6 +685,9 @@ def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
         return chunks[key]
 
     def mmk(xs, kr0, w, cs, wc):
+        if "nomm" in _ZC_ABLATE:
+            z = xs[0] if three_pass else xs
+            return jnp.zeros((z.shape[0], wc), f32) + jnp.float32(1.0)
         if three_pass:
             xh16, xl16 = xs
             if w < 128:
@@ -678,6 +695,8 @@ def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
             kh = kh_ref[0, kr0:kr0 + w, cs:cs + wc]
             kl = kl_ref[0, kr0:kr0 + w, cs:cs + wc]
             acc = jnp.dot(xh16, kh, preferred_element_type=f32)
+            if "nosplit" in _ZC_ABLATE:
+                return acc
             acc = acc + jnp.dot(xh16, kl, preferred_element_type=f32)
             acc = acc + jnp.dot(xl16, kh, preferred_element_type=f32)
             return acc

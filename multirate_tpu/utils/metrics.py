@@ -26,7 +26,7 @@ import numpy as np
 
 __all__ = ["ThroughputReport", "measure", "measure_chained",
            "chained_seconds_per_call", "hbm_roofline_samples_per_s",
-           "KNOWN_HBM_GBPS", "stream_copy_gbps"]
+           "KNOWN_HBM_GBPS", "stream_copy_gbps", "stream_expand_gbps"]
 
 # Peak HBM bandwidth per chip, GB/s (public figures).
 KNOWN_HBM_GBPS = {
@@ -308,12 +308,16 @@ def stream_expand_gbps(ratio: int = 4, n_floats: int = 8_000_000,
     the pattern-matched ceiling for interpolator-shaped kernels, which
     write ``ratio`` output samples per input.
 
-    Round-4 measurement (32 MB in / 128 MB out, HBM-resident): ~724 GB/s
-    vs ~327 for the balanced stream_copy_gbps — write-dominated streams
-    sustain MORE than the balanced copy on this stack, so interp-family
-    rows have real headroom that the balanced-ceiling column understates
-    (an earlier 8 MB-input attempt measured a 2.6 TB/s VMEM artifact;
-    ROADMAP round-3 finding 1 applies to write probes too)."""
+    Round-4 INTERLEAVED measurement (copy and expand alternating in one
+    process, 3 rounds): expand-1:4 319 GB/s vs balanced copy 324 — ratio
+    0.98. The write-heavy pattern sustains the SAME bandwidth as the
+    balanced copy, so the balanced stream_copy_gbps ceiling is the right
+    denominator for interp-shaped rows too. Two cautionary tales from
+    getting here: an 8 MB-input first attempt measured a 2.6 TB/s VMEM
+    artifact (ROADMAP round-3 finding 1 applies to write probes), and a
+    non-interleaved run during a fast relay-pace window measured 724
+    GB/s — the pace drifts ~2x between windows, so CROSS-PROCESS probe
+    comparisons are invalid; only same-process interleaved A/Bs count."""
     from functools import partial
 
     import jax
