@@ -426,8 +426,10 @@ def main():
     # the headline line printed; a silent accuracy regression (e.g. a
     # "optimization" that busts the 8e-5 float32 budget) still turns the
     # bench red instead of hiding in a sidecar field nobody reads
+    # (explicit raise, not assert: must survive `python -O`)
     fails = sidecar.get("accuracy_failures")
-    assert not fails, f"oracle RMS over budget: {fails}"
+    if fails:
+        raise SystemExit(f"oracle RMS over budget: {fails}")
 
 
 if __name__ == "__main__":

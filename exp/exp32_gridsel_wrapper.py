@@ -30,8 +30,15 @@ def main():
     import multirate_tpu as mr
     from multirate_tpu.ops import indexing as idx
     from multirate_tpu.ops import gridsel as G
-    from multirate_tpu.ops.pallas.gridsel import (
-        gridsel_resample_arb, gridsel_resample_farrow)
+    try:
+        from multirate_tpu.ops.pallas.gridsel import (
+            gridsel_resample_arb, gridsel_resample_farrow)
+    except ImportError:
+        raise SystemExit(
+            "exp32 is historical: the non-fused gridsel kernels were "
+            "deleted after the fused-input kernels replaced them; "
+            "check out git rev <= 38ddd7d to rerun (results summarized "
+            "in the module docstring / ROADMAP).")
 
     log("device:", jax.devices()[0].device_kind)
     N = 8_000_000

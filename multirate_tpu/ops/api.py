@@ -69,7 +69,10 @@ def filt(h, x, ratio_or_rate=Fraction(1, 1), nphi: int = 32,
 
     ``x`` may have leading channel/batch dims; time is the last axis. The
     output dtype is promote(h.dtype, x.dtype) (reference convention, e.g.
-    Filters.jl:476).
+    Filters.jl:476) — EXCEPT for the quantized modes, which emit their
+    accumulator dtype (bf16 taps/signal -> float32, int8 -> int32; see
+    README "quantized modes" and docs/migration.md): Mosaic's narrowing
+    output store costs more than the whole kernel (docs/kernels.md).
     """
     if isinstance(ratio_or_rate, float):
         params = make_kernel(h, rate=ratio_or_rate, nphi=nphi,

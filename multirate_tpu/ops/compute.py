@@ -956,8 +956,12 @@ def _split_complex_taps(params):
 def filt_block_raw(params, state: FilterState, x, path: str = "auto"):
     """Filter one block. Returns (y_padded, count, new_state).
 
-    ``y_padded`` has static length max_outputs(params, x.shape[-1]) on the
-    time axis; only the first ``count`` samples are meaningful. The reference
+    ``y_padded`` has a path-dependent STATIC trailing length >=
+    max_outputs(params, x.shape[-1]): the windows/supercycle paths return
+    exactly max_outputs, while the gridsel paths return tile-padded buffers
+    (num_tiles*JT*L2, see ops/gridsel.py) — size downstream buffers from
+    y.shape[-1], not from max_outputs. Only the first ``count`` samples are
+    meaningful either way. The reference
     returns (buffer, samples_written) with inconsistent conventions
     (SURVEY.md section 2.2 item 8); this API is uniform.
 

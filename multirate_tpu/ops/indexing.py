@@ -24,6 +24,7 @@ from fractions import Fraction
 from typing import Union
 
 import jax.numpy as jnp
+import numpy as np
 
 from .params import (
     PHASE_FRAC_BITS, PHASE_ONE,
@@ -215,7 +216,7 @@ def outputlength(arg0, inlen=None, initial_phi: int = 1, state=None) -> int:
       the kernel's current deficit/phase (pass the live FilterState; defaults
       to a fresh state).
     """
-    if isinstance(arg0, int):
+    if isinstance(arg0, (int, np.integer)):
         # outputlength(inlen, ratio, initial_phi)
         ratio = inlen
         ratio = Fraction(*ratio) if isinstance(ratio, tuple) else Fraction(ratio)
@@ -223,6 +224,10 @@ def outputlength(arg0, inlen=None, initial_phi: int = 1, state=None) -> int:
         return _ceil_div(arg0 * L - initial_phi + 1, M)
 
     params, xlen = arg0, int(inlen)
+    if not isinstance(initial_phi, (int, np.integer)):
+        raise TypeError(
+            "outputlength(params, inlen, ...): the third positional slot is "
+            "initial_phi (an int); pass a FilterState as state=... keyword")
     d0 = 1 if state is None else int(state.deficit)
     phi0 = 1 if state is None else int(state.phase)
     if isinstance(params, FIRStandard):
@@ -253,13 +258,17 @@ def inputlength(params, outlen=None, initial_phi: int = 1, state=None) -> int:
       the reference's bug (it reads nonexistent ``kernel.inputlength``,
       Filters.jl:415 — SURVEY.md section 2.2 item 3) by using the deficit.
     """
-    if isinstance(params, int):
+    if isinstance(params, (int, np.integer)):
         # inputlength(outlen, ratio, initial_phi)
         ratio = outlen
         ratio = Fraction(*ratio) if isinstance(ratio, tuple) else Fraction(ratio)
         L, M = ratio.numerator, ratio.denominator
         return _ceil_div(params * M + initial_phi - 1, L)
 
+    if not isinstance(initial_phi, (int, np.integer)):
+        raise TypeError(
+            "inputlength(params, outlen, ...): the third positional slot is "
+            "initial_phi (an int); pass a FilterState as state=... keyword")
     d0 = 1 if state is None else int(state.deficit)
     phi0 = 1 if state is None else int(state.phase)
 

@@ -106,7 +106,9 @@ def shard_filt_block(params, state: FilterState, x, mesh: Mesh,
 
     Each time-shard receives its halo from the left neighbor via ppermute;
     shard 0 uses the carried ``state.history``. Returns
-    (y_blocks (C, n_t, n_max), counts (n_t,), new_state) where new_state
+    (y_blocks (C, n_t, n_pad), counts (n_t,), new_state) where n_pad is the
+    path-dependent static per-shard output length (>= max_outputs(params,
+    nblk); gridsel paths tile-pad — see filt_block_raw) and new_state
     carries the global stream state (history = tail of the last shard).
 
     Requires per-shard block length >= h_min (one-hop halo). The carried
@@ -173,7 +175,9 @@ def shard_filt_block(params, state: FilterState, x, mesh: Mesh,
 def compact(y_blocks, counts):
     """Host-side assembly of per-shard padded outputs into one dense array.
 
-    y_blocks: (..., n_t, n_max); counts: (n_t,). Returns (..., sum(counts)).
+    y_blocks: (..., n_t, n_pad) with n_pad the shard_filt_block static
+    trailing length (>= per-shard max_outputs; gridsel paths tile-pad);
+    counts: (n_t,). Returns (..., sum(counts)).
     """
     y_blocks = np.asarray(y_blocks)
     counts = np.asarray(counts)

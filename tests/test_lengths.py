@@ -199,3 +199,22 @@ def test_max_outputs_bounds_actual():
     p = mr.make_kernel(h, rate=1.9)
     assert mr.filt(h, rng.standard_normal(101), 1.9).shape[-1] <= \
         mr.max_outputs(p, 101)
+
+
+def test_length_overload_dispatch_guards():
+    # numpy-integer outlens/inlens must hit the raw overload (ADVICE r4:
+    # isinstance(params, int) rejected np.int64)
+    r = Fraction(3, 2)
+    assert mr.inputlength(np.int64(150), r, 1) == mr.inputlength(150, r, 1)
+    assert mr.outputlength(np.int64(100), r, 1) == mr.outputlength(100, r, 1)
+    # a FilterState passed positionally in the initial_phi slot must raise,
+    # not silently compute the state=None answer
+    h = np.arange(8.0)
+    p = mr.make_kernel(h, ratio=r)
+    st = mr.init_state(p, (), np.float32)
+    with pytest.raises(TypeError):
+        mr.inputlength(p, 10, st)
+    with pytest.raises(TypeError):
+        mr.outputlength(p, 10, st)
+    # keyword form stays valid
+    assert mr.inputlength(p, 10, state=st) == mr.inputlength(p, 10)
