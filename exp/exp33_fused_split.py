@@ -20,8 +20,15 @@ def main():
     import multirate_tpu as mr
     from multirate_tpu.ops import indexing as idx
     from multirate_tpu.ops import gridsel as G
-    from multirate_tpu.ops.pallas.gridsel import (
-        gridsel_resample_arb_fused, gridsel_resample_farrow_fused)
+    try:
+        from multirate_tpu.ops.pallas.gridsel import (
+            gridsel_resample_arb_fused, gridsel_resample_farrow_fused)
+    except ImportError:
+        raise SystemExit(
+            "exp33 is historical: the round-4 per-variant kernels were "
+            "replaced by the round-5 valder kernels; check out a rev "
+            "before the valder rewrite to rerun (results summarized in "
+            "ROADMAP round-4 state).")
 
     log("device:", jax.devices()[0].device_kind)
     N = 8_000_000

@@ -124,31 +124,28 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
         if not (q_lo - 1 >= 0 and q_hi + 1 + T <= sp2):
             continue
         # VMEM ceiling (~16 MiB/core; keep headroom for double buffering
-        # and Mosaic temporaries). Majors: the in-kernel tap matrices
-        # ((sp2, L2p) f32 x nK), the lane-pre-broadcast Farrow cf bank
-        # ((ceil8(P1*T), L2p) f32 — ADVICE r2: it grows with T*P1*L2p and
-        # was previously unaccounted), x tiles, and (JT, L2p) row temps.
-        P1 = (polyorder + 1) if (farrow and polyorder is not None) else 1
-        packed = 2 * L2 <= L2p and eps != 0
-        # K matrices built (placement stages) / contracted (3-pass
-        # matmuls over the contiguous overlap-tiled window): packing
-        # folds the B variant into the lane padding, halving both for
-        # arb and the matmul count for Farrow
-        n_k = (P1 if farrow else 2) * (1 if (packed or farrow) else 2)
-        n_mm = (P1 if farrow else 2) * (1 if packed else 2)
+        # and Mosaic temporaries). Majors: the in-kernel (V, D) tap
+        # matrix pair ((sp2, L2p) f32; the crossing-tile B pair is
+        # transient under pl.when — count one resident pair), x tiles,
+        # and (JT, L2p) row temps. The valder flow (round 5) made the
+        # per-tile work IDENTICAL for arb and Farrow — host-evaluated
+        # value/derivative rows, one placed pair, mm3 + drift*mm1 — so
+        # P1/packing no longer scale the kernel cost; crossing tiles
+        # (probability jt*|eps|/crossing-scale per lane) are sparse.
+        n_k = 2
+        n_mm = 2
         M2p = -(-sp2 // 128) * 128
-        vmem = 4 * (max(n_k, n_mm) * sp2 * L2p
-                    + (-(-(P1 * T) // 8) * 8) * L2p * (1 if farrow else 0)
+        vmem = 4 * (n_k * sp2 * L2p
                     + 2 * (jt + 8) * M2p
                     + 6 * jt * L2p)
         if vmem > 12 * (1 << 20):
             continue
         # cost per output, MXU MACs normalized to VPU ops (~25x thruput):
-        # 3-pass matmuls contract ceil128(sp2) rows (the MXU contraction
-        # quantum; the overlap tiling made the window one chunked slice)
-        # for n_mm column variants; placement is T compare/select stages
-        # per built K
-        mxu = 3.0 * M2p * n_mm * (L2p / L2) / 25.0
+        # the V matmul is 3 bf16 passes, the drift-D matmul 1, over
+        # ceil128(sp2) contraction rows (the MXU quantum; the overlap
+        # tiling made the window one chunked slice); placement is T
+        # compare/select stages over the (V, D) pair
+        mxu = 4.0 * M2p * (L2p / L2) / 25.0
         vpu = 2.0 * T * n_k * sp2 * L2p / (jt * L2)
         cost = mxu + vpu
         if best_cost is None or cost < best_cost:
@@ -161,18 +158,24 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
 def _pack(meta: GridselMeta, nphi: int, delta_fx: int, u0, d0,
           tiles8: int, farrow: bool, jt: int | None = None,
           packed: bool = False):
-    """(pk int32, rowc f32, a0 f32), each (tiles8, L2p). Exact int64.
-    ``jt`` overrides the plan's tile rows (batched kernels use smaller
-    tiles for VMEM; any jt <= meta.JT keeps the one-crossing bound).
+    """(pk int32, rowc f32, a0 f32, phiA, phiB), each (tiles8, L2p).
+    Exact int64. ``jt`` overrides the plan's tile rows (batched kernels
+    use smaller tiles for VMEM; any jt <= meta.JT keeps the one-crossing
+    bound).
+
+    pk packs q | qB << 10 — the variant-A window offset and the
+    (host-resolved, bank-carry-exact) variant-B offset past the tile's
+    crossing. a0 is the tile-start alpha (arb, bank units) / psi (farrow,
+    1-based continuous phase): consumed HOST-SIDE by the valder row
+    builders; the kernel never sees phases. phiA/phiB are the arb bank
+    indices for the host row gather (None for farrow).
 
     ``packed`` (requires 2*L2 <= L2p): lanes [L2, 2*L2) carry column
     l - L2's VARIANT-B state — q/phi stepped past the tile's crossing and
     a0 pre-offset (alpha - dir for arb, psi - dir*nphi for Farrow) — so
-    the kernel builds ONE K per tap bank/power instead of an A/B pair and
-    combines with one static lane roll + select. The variant resolution
-    happens here in exact int64 (the kernel's _variant_b becomes a no-op
-    for packed plans)."""
-    L2, M2, eps, JT, sp2, L2p, _, _ = meta
+    one host (V, D) row pair covers both variants and the kernel resolves
+    the (rare) crossing with one static lane roll + select."""
+    L2, M2, eps, JT, sp2, L2p = meta[:6]
     JT = jt or JT
     D = nphi << PHASE_FRAC_BITS
     i64 = jnp.int64
@@ -188,33 +191,38 @@ def _pack(meta: GridselMeta, nphi: int, delta_fx: int, u0, d0,
         isB = None
         r = jnp.minimum(lane, L2 - 1)[None, :]
     w0 = u0.astype(i64) + r * delta_fx + jj0 * eps
+    phiA = phiB = None
     if farrow:
         b = w0 // D
         rem = w0 - b * D                       # in [0, D)
         q = (d0.astype(i64) - 1) + b + PAD_L
         if packed:
             q = jnp.where(isB, q + dir_, q)
-        pk = q.astype(jnp.int32)
+        q = q.astype(jnp.int32)
+        qB = q + jnp.int32(dir_)               # window step at crossing
         scale = D
     else:
         k = w0 >> 32
         rem = w0 - (k << 32)                   # in [0, 2^32)
         b = k // nphi
         phi = (k - b * nphi).astype(jnp.int32)
-        q = (d0.astype(i64) - 1) + b + PAD_L
+        q = ((d0.astype(i64) - 1) + b + PAD_L).astype(jnp.int32)
+        # variant B: phi steps by dir with bank wraparound into q
+        phR = phi + jnp.int32(dir_)
+        qB = (q
+              + jnp.where(phR == jnp.int32(nphi), 1, 0)
+              - jnp.where(phR < jnp.int32(0), 1, 0)).astype(jnp.int32)
+        phB = jnp.where(phR == jnp.int32(nphi), jnp.int32(0),
+                        jnp.where(phR < jnp.int32(0),
+                                  jnp.int32(nphi - 1), phR))
         if packed:
-            # variant B: phi steps by dir with bank wraparound into q
-            phR = phi + jnp.int32(dir_)
-            qB = (q
-                  + jnp.where(phR == jnp.int32(nphi), 1, 0)
-                  - jnp.where(phR < jnp.int32(0), 1, 0))
-            phB = jnp.where(phR == jnp.int32(nphi), jnp.int32(0),
-                            jnp.where(phR < jnp.int32(0),
-                                      jnp.int32(nphi - 1), phR))
             q = jnp.where(isB, qB, q)
             phi = jnp.where(isB, phB, phi)
-        pk = q.astype(jnp.int32) | (phi << jnp.int32(10))
+            qB = q
+            phB = phi
+        phiA, phiB = phi, phB
         scale = 1 << 32
+    pk = q | (qB << jnp.int32(10))
     if eps > 0:
         rowc = (scale - rem + (eps - 1)) // eps
     elif eps < 0:
@@ -235,7 +243,7 @@ def _pack(meta: GridselMeta, nphi: int, delta_fx: int, u0, d0,
         a0 = hi * jnp.float32(2.0 ** -16) + lo * jnp.float32(2.0 ** -32)
         if packed:
             a0 = jnp.where(isB, a0 - jnp.float32(dir_), a0)
-    return pk, rowc, a0
+    return pk, rowc, a0, phiA, phiB
 
 
 def _tile_x(xext, meta: GridselMeta, num_tiles: int,
@@ -322,48 +330,207 @@ def _batch_dims(meta: GridselMeta, C: int, n_k: int):
     return None if best is None else (best[1], best[2])
 
 
-def _tap_rows(pfb, dpfb, pk, nphi: int, dir_: int, packed: bool):
-    """(tiles8, NV*T8, L2p) f32 host-gathered per-tile tap rows.
+def _delta_rows(pk, VA, DA, VB, DB):
+    """(dV, dD): host-PRECANCELLED crossing-correction rows.
 
-    Row block i*T8 + t, lane col = bank[t, phi_col] for (bank, variant)
-    in [(pfb, A), (dpfb, A)] (+ [(pfb, B), (dpfb, B)] unpacked). Built
-    with one XLA gather per bank/variant (~10-20 MB per 8M block, ~0.06
-    ms of DMA at the measured ceiling) — round 4 moved this OUT of the
-    kernel: the in-kernel one-hot tap matmuls cost 0.29 ms of the 0.90 ms
-    arb e2e regardless of their pass count (exp31/exp35; tiny matmuls
-    interleaved between band matmuls stall the MXU)."""
+    The exact past-the-crossing output is y_B = mm(V_B@qB) +
+    drift*mm(D_B@qB), so the exact correction over the A model is
+    mm(V_B@qB - V_A@qA) + drift*mm(D_B@qB - D_A@qA). Both banks are
+    aligned to q_d = min(qA, qB) ON THE HOST (per-lane row shift in
+    {0, 1}) and SUBTRACTED HERE: for small-drift plans the difference is
+    ~gamma*taps'' — orders below either operand — and a kernel-side
+    subtraction of two separately-matmul'd large terms would drown it in
+    bf16 pass error. The kernel then adds mask*(mm1(dV) + drift*mm1(dD))
+    UNCONDITIONALLY — no pl.when: round-3/5 measurements show a
+    conditional double body taxes every grid step (~0.2-0.3 ms/block)
+    even when it never executes."""
+    qA = pk & jnp.int32(1023)
+    qB = jax.lax.shift_right_logical(pk, jnp.int32(10)) & jnp.int32(1023)
+    qd = jnp.minimum(qA, qB)
+    sA = (qA - qd)[:, None, :]
+    sB = (qB - qd)[:, None, :]
+
+    def shift_rows(R, s):
+        down = jnp.concatenate(
+            [jnp.zeros_like(R[:, :1]), R[:, :-1]], axis=1)
+        return jnp.where(s == 1, down, R)
+
+    dV = shift_rows(VB, sB) - shift_rows(VA, sA)
+    dD = shift_rows(DB, sB) - shift_rows(DA, sA)
+    return dV, dD
+
+
+def _valder_rows_arb(pfb, dpfb, pk, phiA, phiB, a0, dir_: int,
+                     packed: bool):
+    """(tiles8, NV*T8, L2p) f32 host-EVALUATED per-tile tap rows.
+
+    V = pfb[:, phi] + a0*dpfb[:, phi] — the reference's interpolated taps
+    (Filters.jl:677-690) at the tile-start alpha — and D = dpfb[:, phi],
+    the exact first-order alpha-drift row (the kernel adds
+    row*deps*mm(D); the fold is exactly linear in alpha, so this is not
+    an approximation). Unpacked drifting plans append the precancelled
+    crossing-delta rows (dV, dD) — see _delta_rows. T8 = ceil8(T+1): the
+    delta alignment spans T+1 rows. Bank selection is a one-hot batched
+    matmul, NOT a gather (gathers are the chip's slowest primitive — the
+    take()-based build cost 0.46 ms/block, round 4); round 4 moved the
+    build OUT of the kernel entirely (in-kernel tiny matmuls interleaved
+    between band matmuls cost 0.29 ms/block regardless of pass count,
+    exp31/exp35)."""
     f32 = jnp.float32
     T = pfb.shape[0]
-    T8 = -(-T // 8) * 8
+    T8 = -(-(T + 1) // 8) * 8
     # stacked (2*T8, nphi) bank: [pfb; dpfb], T8-padded rows
-    B = jnp.zeros((2 * T8, nphi), f32)
+    B = jnp.zeros((2 * T8, pfb.shape[1]), f32)
     B = B.at[:T].set(pfb.astype(f32)).at[T8:T8 + T].set(dpfb.astype(f32))
-    phiA = jax.lax.shift_right_logical(pk, jnp.int32(10))
-    phis = [phiA]
-    if not (packed or dir_ == 0):
-        phR = phiA + jnp.int32(dir_)
-        phiB = jnp.where(phR == jnp.int32(nphi), jnp.int32(0),
-                         jnp.where(phR < jnp.int32(0),
-                                   jnp.int32(nphi - 1), phR))
-        phis.append(phiB)
-    iop = jnp.arange(nphi, dtype=jnp.int32)
-    parts = []
-    for phv in phis:
-        # one-hot matmul, NOT a gather (gathers are the slowest primitive
-        # on this chip — the take()-based first cut cost 0.46 ms/block);
+    iop = jnp.arange(pfb.shape[1], dtype=jnp.int32)
+
+    def pd(phv):
         # HIGHEST keeps the select exact (ops/precision.py SELECT class)
         oh = (iop[None, :, None] == phv[:, None, :]).astype(f32)
-        parts.append(jax.vmap(
+        return jax.vmap(
             lambda o: jnp.dot(B, o, precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=f32))(oh))
+                              preferred_element_type=f32))(oh)
+
+    pdA = pd(phiA)
+    PA, DA = pdA[:, :T8], pdA[:, T8:]
+    VA = PA + a0[:, None, :].astype(f32) * DA
+    parts = [VA, DA]
+    if not (packed or dir_ == 0):
+        pdB = pd(phiB)
+        PB, DB = pdB[:, :T8], pdB[:, T8:]
+        aB = (a0 - jnp.float32(dir_))[:, None, :].astype(f32)
+        parts += list(_delta_rows(pk, VA, DA, PB + aB * DB, DB))
     return jnp.concatenate(parts, axis=1)
+
+
+def _valder_rows_farrow(coeffs, pk, a0, dir_: int, nphi: int,
+                        packed: bool):
+    """(tiles8, NV*T8, L2p) f32 host-evaluated Farrow tap rows.
+
+    V[t] = polyval(coeffs[:, t], psi0) — the reference's per-output tap
+    regeneration (Filters.jl:780-792) at the tile-start psi, evaluated in
+    f64 on the host (the round-4 kernel Horner ran f32 with psi up to
+    nphi+1: genuine cancellation; host f64 is exact to an f32 ulp) — and
+    D[t] = d/dpsi polyval: the first-order psi-drift row. Unpacked
+    drifting plans append the precancelled crossing-delta rows at
+    psi0 - dir*nphi (the post-crossing wrap) — see _delta_rows."""
+    f32 = jnp.float32
+    P1, T = coeffs.shape
+    T8 = -(-(T + 1) // 8) * 8
+    cf = jnp.asarray(coeffs, jnp.float64)                  # (P1, T)
+    dcf = cf[1:] * jnp.arange(1, P1, dtype=jnp.float64)[:, None] \
+        if P1 > 1 else None
+
+    def horner(c, psi):
+        # c (Pn, T), psi (tiles8, L2p) -> (tiles8, T8, L2p)
+        acc = jnp.broadcast_to(c[-1][None, :, None],
+                               (psi.shape[0], T, psi.shape[1]))
+        for p in range(c.shape[0] - 2, -1, -1):
+            acc = acc * psi[:, None, :] + c[p][None, :, None]
+        acc = acc.astype(f32)
+        return jnp.concatenate(
+            [acc, jnp.zeros((psi.shape[0], T8 - T, psi.shape[1]), f32)],
+            axis=1)
+
+    def vd(psi):
+        V = horner(cf, psi)
+        D = (horner(dcf, psi) if dcf is not None
+             else jnp.zeros_like(V))
+        return V, D
+
+    psiA = a0.astype(jnp.float64)
+    VA, DA = vd(psiA)
+    parts = [VA, DA]
+    if not (packed or dir_ == 0):
+        VB, DB = vd(psiA - jnp.float64(dir_ * nphi))
+        parts += list(_delta_rows(pk, VA, DA, VB, DB))
+    return jnp.concatenate(parts, axis=1)
+
+
+# Within-tile drift budgets (static per plan; drift = |eps|*jt*2^-32 in
+# alpha units for arb, bank units for Farrow). Arb's valder fold is
+# EXACTLY linear in alpha — the threshold only picks the drift-matmul
+# grade (1-pass bf16 error ~ drift*2^-8 of the derivative term). Farrow's
+# is a first-order psi linearization: error ~ drift^2 * |taps''|, so
+# large-drift plans (big convergent residue) fall back to the per-row
+# psi-Horner kernel.
+_ARB_D1_DRIFT = 1.0 / 128.0
+_FARROW_VALDER_DRIFT = 0.02
+
+
+def _gridsel_apply(meta: GridselMeta, rows_of, T: int, nphi: int,
+                   delta_fx: int, history, x, u0, d0, n_max: int, dt,
+                   farrow: bool, horner_cf=None, polyorder=None):
+    """Shared valder dispatch: pack exact per-tile index state, build the
+    host V/D tap rows (``rows_of(pk, a0, phiA, phiB, packed)``), and run
+    the fused (single/few-channel) or batched (>= 16 channels) kernel.
+    Large-drift Farrow plans route to the psi-Horner fallback kernels
+    (``horner_cf`` = (P1*T8, L2p) lane-pre-broadcast coeff rows thunk).
+    Returns a TILE-PADDED output (trailing length num_tiles*JT*L2 >=
+    n_max; filt_block_raw's y_padded contract)."""
+    from .pallas import gridsel as pg
+
+    L2, M2, eps, JT, sp2, L2p = meta[:6]
+    packed = 2 * L2 <= L2p and eps != 0
+    lead = x.shape[:-1]
+    C = int(np.prod(lead)) if lead else 0
+    dims = _batch_dims(meta, C, n_k=2) if C >= 16 else None
+    jt = dims[1] if dims is not None else None
+    num_tiles, tiles8 = _geometry(meta, n_max, jt)
+    pk, rowc, a0, phiA, phiB = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
+                                     farrow=farrow, jt=jt, packed=packed)
+    dir_ = 0 if eps == 0 else (1 if eps > 0 else -1)
+    drift = abs(eps) * (jt or JT) * 2.0 ** -32
+    horner = farrow and drift > _FARROW_VALDER_DRIFT
+    interp = jax.default_backend() != "tpu"
+    kw = dict(M2=M2, sp2=sp2, T=T, L2=L2, L2p=L2p, dir_=dir_,
+              deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
+              packed=packed, interpret=interp)
+    if horner:
+        packs = (pk, rowc, a0)
+        banks = (horner_cf(),)
+        kw["nphi"] = nphi
+        kw["P1"] = polyorder + 1
+        batch_fn, fused_fn = (pg.gridsel_farrow_horner_batch,
+                              pg.gridsel_farrow_horner_fused)
+    else:
+        packs = (pk, rowc)
+        banks = (rows_of(pk, a0, phiA, phiB, dir_, packed),)
+        if not farrow:
+            kw["d_pass"] = 3 if drift > _ARB_D1_DRIFT else 1
+        batch_fn, fused_fn = (pg.gridsel_resample_batch,
+                              pg.gridsel_resample_fused)
+
+    if dims is not None:
+        cb, jt_b = dims
+        xext = jnp.concatenate(
+            [jnp.broadcast_to(history.astype(x.dtype),
+                              (*lead, history.shape[-1])), x], axis=-1)
+        x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
+        x3 = x2d.reshape(C, *x2d.shape[-2:])
+        cpad = -(-C // cb) * cb - C
+        if cpad:
+            x3 = jnp.concatenate(
+                [x3, jnp.zeros((cpad, *x3.shape[1:]), x3.dtype)], axis=0)
+        y = batch_fn(x3, *packs, *banks, CB=cb, JT=jt_b, **kw)
+        out = y[:C].reshape(C, num_tiles * jt_b * L2)
+        return out.reshape(*lead, out.shape[-1]).astype(dt)
+
+    xr = _rows_x(history, x.astype(jnp.float32), meta, num_tiles)
+
+    def run(xv):
+        y = fused_fn(xv, *packs, *banks, JT=JT, **kw)
+        return y.reshape(num_tiles * JT * L2)
+
+    if xr.ndim == 2:
+        return run(xr).astype(dt)
+    out = jax.vmap(run)(xr.reshape(-1, *xr.shape[-2:]))
+    return out.reshape(*lead, out.shape[-1]).astype(dt)
 
 
 def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
                       delta_fx: int, history, x, u0, d0, n_max: int, dt):
-    """Arbitrary resample of one block through the gridsel kernel.
-    Returns a TILE-PADDED output (trailing length num_tiles*JT*L2 >=
-    n_max; filt_block_raw's y_padded contract).
+    """Arbitrary resample of one block through the valder gridsel kernel.
 
     Single/few channels run the fused-input kernel (in-VMEM window
     assembly from the (R, M2) row view — no HBM overlap tiling, exp32).
@@ -371,114 +538,37 @@ def arb_gridsel_apply(meta: GridselMeta, pfb, dpfb, nphi: int,
     batched-channel kernel (one shared K build per tile; channels stacked
     on the matmul row axis) instead of vmapping the single-channel kernel,
     which replicates the placement work per channel."""
-    from .pallas.gridsel import (gridsel_resample_arb_batch,
-                                 gridsel_resample_arb_fused)
+    def rows_of(pk, a0, phiA, phiB, dir_, packed):
+        return _valder_rows_arb(pfb, dpfb, pk, phiA, phiB, a0, dir_,
+                                packed)
 
-    L2, M2, eps, JT, sp2, L2p, _, _ = meta
-    packed = 2 * L2 <= L2p and eps != 0
-    lead = x.shape[:-1]
-    C = int(np.prod(lead)) if lead else 0
-    dims = (_batch_dims(meta, C, n_k=2 if packed else 4)
-            if C >= 16 else None)
-    jt = dims[1] if dims is not None else None
-    num_tiles, tiles8 = _geometry(meta, n_max, jt)
-    pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
-                         farrow=False, jt=jt, packed=packed)
-    T = pfb.shape[0]
-    dir_ = 0 if eps == 0 else (1 if eps > 0 else -1)
-    taprows = _tap_rows(pfb, dpfb, pk, nphi, dir_, packed)
-    interp = jax.default_backend() != "tpu"
-    kw = dict(M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
-              dir_=dir_, deps=float(eps * 2.0 ** -32),
-              num_tiles=num_tiles, packed=packed, interpret=interp)
-
-    if dims is not None:
-        cb, jt_b = dims
-        xext = jnp.concatenate(
-            [jnp.broadcast_to(history.astype(x.dtype),
-                              (*lead, history.shape[-1])), x], axis=-1)
-        x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
-        x3 = x2d.reshape(C, *x2d.shape[-2:])
-        cpad = -(-C // cb) * cb - C
-        if cpad:
-            x3 = jnp.concatenate(
-                [x3, jnp.zeros((cpad, *x3.shape[1:]), x3.dtype)], axis=0)
-        y = gridsel_resample_arb_batch(x3, pk, rowc, a0, taprows, CB=cb,
-                                       JT=jt_b, **kw)
-        out = y[:C].reshape(C, num_tiles * jt_b * L2)
-        return out.reshape(*lead, out.shape[-1]).astype(dt)
-
-    xr = _rows_x(history, x.astype(jnp.float32), meta, num_tiles)
-
-    def run(xv):
-        y = gridsel_resample_arb_fused(xv, pk, rowc, a0, taprows, JT=JT,
-                                       **kw)
-        return y.reshape(num_tiles * JT * L2)
-
-    if xr.ndim == 2:
-        return run(xr).astype(dt)
-    out = jax.vmap(run)(xr.reshape(-1, *xr.shape[-2:]))
-    return out.reshape(*lead, out.shape[-1]).astype(dt)
+    return _gridsel_apply(meta, rows_of, pfb.shape[0], nphi, delta_fx,
+                          history, x, u0, d0, n_max, dt, farrow=False)
 
 
 def farrow_gridsel_apply(meta: GridselMeta, coeffs, nphi: int,
                          delta_fx: int, history, x, u0, d0, n_max: int,
                          dt):
-    """Farrow resample of one block through the gridsel kernel. Returns a
-    TILE-PADDED output (see arb_gridsel_apply). Batched (channel-lead)
-    inputs with >= 16 channels run the batched-channel kernel."""
-    from .pallas.gridsel import (gridsel_resample_farrow_batch,
-                                 gridsel_resample_farrow_fused)
-
-    L2, M2, eps, JT, sp2, L2p, _, _ = meta
+    """Farrow resample of one block through the valder gridsel kernel
+    (see arb_gridsel_apply; the kernels unified in round 5 — only the
+    host tap-row evaluation differs). Large-drift plans run the psi-
+    Horner fallback with the lane-pre-broadcast coefficient bank."""
     P1, T = coeffs.shape
-    packed = 2 * L2 <= L2p and eps != 0
-    lead = x.shape[:-1]
-    C = int(np.prod(lead)) if lead else 0
-    dims = (_batch_dims(meta, C, n_k=P1 if packed else 2 * P1)
-            if C >= 16 else None)
-    jt = dims[1] if dims is not None else None
-    num_tiles, tiles8 = _geometry(meta, n_max, jt)
-    pk, rowc, a0 = _pack(meta, nphi, delta_fx, u0, d0, tiles8,
-                         farrow=True, jt=jt, packed=packed)
-    # lane-pre-broadcast layout: row p*T + t = coeffs[p, t] across all L2p
-    # lanes (the kernel's placement stages need (1, L2p) rows — Mosaic has
-    # no both-axes vector broadcast)
-    PT8 = -(-(P1 * T) // 8) * 8
-    cf = jnp.zeros((PT8, L2p), jnp.float32).at[:P1 * T, :].set(
-        jnp.broadcast_to(coeffs.astype(jnp.float32).reshape(P1 * T, 1),
-                         (P1 * T, L2p)))
-    interp = jax.default_backend() != "tpu"
-    # Farrow's only crossing is the window step: psi jumps by -dir*nphi
-    kw = dict(M2=M2, sp2=sp2, T=T, nphi=nphi, L2=L2, L2p=L2p,
-              P1=P1, dir_=(0 if eps == 0 else (1 if eps > 0 else -1)),
-              deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
-              packed=packed, interpret=interp)
 
-    if dims is not None:
-        cb, jt_b = dims
-        xext = jnp.concatenate(
-            [jnp.broadcast_to(history.astype(x.dtype),
-                              (*lead, history.shape[-1])), x], axis=-1)
-        x2d = _tile_x(xext.astype(jnp.float32), meta, num_tiles, jt)
-        x3 = x2d.reshape(C, *x2d.shape[-2:])
-        cpad = -(-C // cb) * cb - C
-        if cpad:
-            x3 = jnp.concatenate(
-                [x3, jnp.zeros((cpad, *x3.shape[1:]), x3.dtype)], axis=0)
-        y = gridsel_resample_farrow_batch(x3, pk, rowc, a0, cf, CB=cb,
-                                          JT=jt_b, **kw)
-        out = y[:C].reshape(C, num_tiles * jt_b * L2)
-        return out.reshape(*lead, out.shape[-1]).astype(dt)
+    def rows_of(pk, a0, phiA, phiB, dir_, packed):
+        return _valder_rows_farrow(coeffs, pk, a0, dir_, nphi, packed)
 
-    xr = _rows_x(history, x.astype(jnp.float32), meta, num_tiles)
+    def horner_cf():
+        # lane-pre-broadcast layout: row p*T + t = coeffs[p, t] across all
+        # L2p lanes (placement stages need (1, L2p) rows — Mosaic has no
+        # both-axes vector broadcast)
+        L2p = meta.L2p
+        PT8 = -(-(P1 * T) // 8) * 8
+        return jnp.zeros((PT8, L2p), jnp.float32).at[:P1 * T, :].set(
+            jnp.broadcast_to(
+                coeffs.astype(jnp.float32).reshape(P1 * T, 1),
+                (P1 * T, L2p)))
 
-    def run(xv):
-        y = gridsel_resample_farrow_fused(xv, pk, rowc, a0, cf, JT=JT,
-                                          **kw)
-        return y.reshape(num_tiles * JT * L2)
-
-    if xr.ndim == 2:
-        return run(xr).astype(dt)
-    out = jax.vmap(run)(xr.reshape(-1, *xr.shape[-2:]))
-    return out.reshape(*lead, out.shape[-1]).astype(dt)
+    return _gridsel_apply(meta, rows_of, T, nphi, delta_fx,
+                          history, x, u0, d0, n_max, dt, farrow=True,
+                          horner_cf=horner_cf, polyorder=P1 - 1)

@@ -163,8 +163,22 @@ def main():
     weak_cpu = {str(n): float(np.median(wc[n])) for n in shard_counts}
 
     # ---- strong scaling: fixed global size ----------------------------- #
-    N_g = max(shard_counts) * B
-    xg = jnp.asarray(rng.standard_normal((C, N_g)).astype(np.float32))
+    # Wall-clock strong scaling is UNMEASURABLE on this virtual mesh: all
+    # N "devices" are one XLA CPU client sharing one intra-op thread pool
+    # on the host's cores, so the n_t=1 baseline already uses every core —
+    # sharding cannot make the wall move (BENCH_r04 measured {2: 0.995,
+    # 4: 1.347, 8: 1.125}: noise around 1). What IS sound is the strong
+    # WORK ratio: process-CPU total of the sharded fixed-size problem over
+    # the unsharded same-size run. On real chips each shard's compute runs
+    # on its own chip, so projected strong efficiency = 1/work_ratio minus
+    # an ICI-latency term this host cannot measure (the halo payload is
+    # (h_min-1)*4 bytes/boundary — microseconds on ICI).
+    N_g = max(shard_counts) * B          # per-shard work at n=8 is one
+    xg = jnp.asarray(                    # full weak-scaling block: compute
+        rng.standard_normal((C, N_g)).astype(np.float32))  # >> dispatch
+    stg = mr.init_state(params, (C,), jnp.float32)
+    step_g = jax.jit(lambda s, xx: mr.filt_block(params, s, xx, path=PATH))
+    jax.block_until_ready(step_g(stg, xg)[:2])
     strong_runs = {}
     for n_t in shard_counts:
         mesh = make_mesh(1, n_t)
@@ -173,11 +187,25 @@ def main():
         jax.block_until_ready(f(st, xg)[:2])
         strong_runs[n_t] = f
     sw = {n: [] for n in shard_counts}
+    sc = {n: [] for n in shard_counts}
+    un_g_c, un_g_w = [], []
     for _ in range(9):
+        w, c = cpu_wall(step_g, stg, xg)
+        un_g_w.append(w)
+        un_g_c.append(c)
         for n_t in shard_counts:
-            w, _ = cpu_wall(strong_runs[n_t], st, xg)
+            w, c = cpu_wall(strong_runs[n_t], st, xg)
             sw[n_t].append(w)
+            sc[n_t].append(c)
     strong_wall = {str(n): float(np.median(sw[n])) for n in shard_counts}
+    c_un_g = float(np.median(un_g_c))
+    strong_work = {str(n): round(float(np.median(sc[n])) / c_un_g, 3)
+                   for n in shard_counts}
+    # ratios dip below 1 when the virtual-mesh spin-floor biases the
+    # denominator (see artifact_floor_ratio); clamp the projection — a
+    # sharded run cannot beat 100% per-chip efficiency on real hardware
+    strong_eff = {k: round(min(1.0, 1.0 / v), 3)
+                  for k, v in strong_work.items()}
 
     t1 = strong_wall.get("1")
     speedup = ({k: round(t1 / v, 3) for k, v in strong_wall.items()}
@@ -212,6 +240,23 @@ def main():
         # shared-core wall speedup: sanity/monotonicity only, NOT a
         # multi-chip scaling claim (all virtual devices share host cores)
         "strong_wall_speedup_shared_cores": speedup,
+        # fixed-global-size process-CPU ratio sharded/unsharded — the
+        # sound strong-scaling figure on this host (see strong_
+        # scaling_note): real-chip projected efficiency = 1/ratio.
+        "strong_work_overhead_ratio": strong_work,
+        "strong_projected_efficiency": strong_eff,
+        "strong_scaling_note": (
+            "Wall-clock strong scaling is unmeasurable on a virtual CPU "
+            "mesh: all devices are one XLA CPU client sharing one "
+            "intra-op thread pool, so the n=1 baseline already uses "
+            "every physical core and sharding cannot move the wall "
+            "(strong_wall_speedup_shared_cores is noise around 1 by "
+            "construction). strong_work_overhead_ratio is the sound "
+            "figure: total process-CPU of the sharded fixed-size "
+            "problem over the unsharded same-size run — on real chips "
+            "each shard computes on its own chip, so projected strong "
+            "efficiency = 1/ratio minus ICI latency for the "
+            "(h_min-1)*4-byte halo per boundary (microseconds)."),
     }
     print(json.dumps(out))
 
