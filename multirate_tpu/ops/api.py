@@ -32,7 +32,8 @@ from .params import (
 )
 
 __all__ = [
-    "filt", "filt_block", "filt_block_inplace", "FIRFilter",
+    "filt", "filt_block", "filt_block_inplace", "filt_block_tm",
+    "FIRFilter",
     "setphase", "reset", "tapsforphase",
     "outputlength", "inputlength", "nextphase", "max_outputs",
 ]
@@ -45,6 +46,11 @@ max_outputs = _idx.max_outputs
 
 filt_block = jax.jit(filt_block_raw, static_argnames=("path",))
 filt_block.__doc__ = filt_block_raw.__doc__
+
+from .compute import filt_block_tm_raw  # noqa: E402
+
+filt_block_tm = jax.jit(filt_block_tm_raw, static_argnames=("path",))
+filt_block_tm.__doc__ = filt_block_tm_raw.__doc__
 
 # Streaming-loop variant: the state pytree is DONATED, so XLA reuses the
 # history buffer in place instead of re-allocating it every block

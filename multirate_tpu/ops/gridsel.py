@@ -32,6 +32,8 @@ from .params import PHASE_FRAC_BITS
 __all__ = ["build_gridsel_plan", "GridselMeta", "arb_gridsel_apply",
            "farrow_gridsel_apply"]
 
+import os
+
 N_CAP = 1 << 24
 # Whole-window drift budget over one block: n_cap (the per-call output
 # cap) scales LINEARLY with it, at the price of _DRIFT_SLOTS extra rows
@@ -98,7 +100,12 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
             continue
         if L2 > 1024:
             continue
-        jt = min(256, cross_lim // max(abs(eps), 1))
+        # Tile row cap (read per-plan for in-process A/B, exp51): the
+        # (JT, band) matmul dots run far under MXU peak at 256 rows
+        # (fixed per-dot overhead), and the placement pair amortizes
+        # with JT; VMEM bounds the top end.
+        jt_cap = int(os.environ.get("GRIDSEL_JT", "256"))
+        jt = min(jt_cap, cross_lim // max(abs(eps), 1))
         jt = (jt // 8) * 8
         if jt < 16:
             continue
@@ -140,12 +147,25 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
                     + 6 * jt * L2p)
         if vmem > 12 * (1 << 20):
             continue
-        # cost per output, MXU MACs normalized to VPU ops (~25x thruput):
-        # the V matmul is 3 bf16 passes, the drift-D matmul 1, over
-        # ceil128(sp2) contraction rows (the MXU quantum; the overlap
-        # tiling made the window one chunked slice); placement is T
-        # compare/select stages over the (V, D) pair
-        mxu = 4.0 * M2p * (L2p / L2) / 25.0
+        # cost per output, MXU MACs normalized to VPU ops (~25x thruput).
+        # Pass count is DRIFT-AWARE (round 5): small within-tile drift
+        # (|eps|*jt*2^-32) runs the cheap valder flow (V at 3 bf16
+        # passes, drift-D and crossing-delta at 1 each); large drift
+        # raises the correction grade (arb) or forces the per-row
+        # psi-Horner fallback (Farrow, 3*(polyorder+1) passes x A/B
+        # variants) — so a deeper convergent with a tiny residue can
+        # beat a shallow one whose residue forces the expensive flow.
+        drift = abs(eps) * jt * 2.0 ** -32
+        if eps == 0:
+            passes = 4.0
+        elif farrow:
+            P1s = (polyorder + 1) if polyorder is not None else 5
+            passes = (6.0 if drift <= _FARROW_VALDER_DRIFT
+                      else 3.0 * P1s * 2.0)
+        else:
+            dp = 3.0 if drift > _ARB_D1_DRIFT else 1.0
+            passes = 3.0 + 2.0 * dp
+        mxu = passes * M2p * (L2p / L2) / 25.0
         vpu = 2.0 * T * n_k * sp2 * L2p / (jt * L2)
         cost = mxu + vpu
         if best_cost is None or cost < best_cost:
@@ -396,6 +416,12 @@ def _valder_rows_arb(pfb, dpfb, pk, phiA, phiB, a0, dir_: int,
     VA = PA + a0[:, None, :].astype(f32) * DA
     parts = [VA, DA]
     if not (packed or dir_ == 0):
+        # NOTE a gamma*mm(dD) single-matmul correction (using tap
+        # continuity, dV = gamma0*dD) is exact ONLY for within-bank
+        # crossings: at a bank WRAP (1/nphi of crossings) the window
+        # shifts one sample and dV gains O(tap) edge terms — the exact
+        # host-subtracted (dV, dD) pair is required (measured 5e-4
+        # errors at rate 0.4709 on the merged form, all at qB != qA).
         pdB = pd(phiB)
         PB, DB = pdB[:, :T8], pdB[:, T8:]
         aB = (a0 - jnp.float32(dir_))[:, None, :].astype(f32)
@@ -486,16 +512,16 @@ def _gridsel_apply(meta: GridselMeta, rows_of, T: int, nphi: int,
     kw = dict(M2=M2, sp2=sp2, T=T, L2=L2, L2p=L2p, dir_=dir_,
               deps=float(eps * 2.0 ** -32), num_tiles=num_tiles,
               packed=packed, interpret=interp)
+    packs = (pk, rowc, a0)
     if horner:
-        packs = (pk, rowc, a0)
         banks = (horner_cf(),)
         kw["nphi"] = nphi
         kw["P1"] = polyorder + 1
         batch_fn, fused_fn = (pg.gridsel_farrow_horner_batch,
                               pg.gridsel_farrow_horner_fused)
     else:
-        packs = (pk, rowc)
         banks = (rows_of(pk, a0, phiA, phiB, dir_, packed),)
+        kw["nv"] = 2 if (packed or dir_ == 0) else 4
         if not farrow:
             kw["d_pass"] = 3 if drift > _ARB_D1_DRIFT else 1
         batch_fn, fused_fn = (pg.gridsel_resample_batch,

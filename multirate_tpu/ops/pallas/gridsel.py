@@ -243,12 +243,12 @@ def _seg_place2(M2: int, sp2: int):
     return place2
 
 
-def _rows_of(tr_ref, packed: bool, dir_: int):
+def _rows_of(tr_ref, nv: int):
     """Slice the per-tile (1, NV*T8, L2p) host row block into NV (T8, L2p)
-    matrices: (V, D) packed/driftless, else (V, D, VB, DB)."""
-    nmat = 2 if (packed or dir_ == 0) else 4
-    T8 = tr_ref.shape[1] // nmat
-    return tuple(tr_ref[0, i * T8:(i + 1) * T8, :] for i in range(nmat))
+    matrices: (V, D) packed/driftless; (V, D, dD) arb (the crossing
+    delta is proportional to dD: gamma*mm(dD)); (V, D, dV, dD) Farrow."""
+    T8 = tr_ref.shape[1] // nv
+    return tuple(tr_ref[0, i * T8:(i + 1) * T8, :] for i in range(nv))
 
 
 def _place1(q, rows, *, T: int, sp2: int, L2p: int, row0: int = 0):
@@ -333,26 +333,25 @@ def _farrow_horner_flow(o_write, mm3, pk, rowc, a0, rowf, cf, *, T: int,
     o_write(jnp.where(rowf >= rowc[None, :], accB, accA))
 
 
-def _valder_flow(o_write, mm3, mm1, pk, rowc, rowf, rows, *, T: int,
+def _valder_flow(o_write, mm3, mm1, pk, rowc, a0, rowf, rows, *, T: int,
                  sp2: int, L2: int, L2p: int, JTP: int, dir_: int,
-                 deps: float, packed: bool, place2):
+                 deps: float, packed: bool, place2, place1):
     """The shared tile flow: place (V, D), y = mm3(K_V) + drift*mm1(K_D),
-    then add the crossing delta UNCONDITIONALLY.
-
-    ``pk`` packs q | qB << _QBITS (both host-resolved exact int64);
-    ``rowc`` is the per-lane crossing row clipped to [0, JTP]. Crossing
-    handling (round-5 history): a pl.when-guarded full variant-B build
-    taxed EVERY tile ~0.2-0.3 ms/block even with the branch essentially
-    never taken (the round-3 boundary-tile finding again), so the
-    crossing is instead an unconditional masked correction against the
-    host-precancelled delta rows (ops/gridsel._delta_rows):
+    then add the crossing delta UNCONDITIONALLY:
 
         y += (rowf >= rowc) * (mm1(K_dV) + drift*mm1(K_dD))
 
-    — exact (tap continuity P(phi+1) = P(phi) + D(phi) holds to the f32
-    ulp by the dh = diff(h) construction; the Farrow deltas are the
-    evaluated seam difference), one extra (T+1)-stage placement pair and
-    two 1-pass matmuls, no branch."""
+    against the host-precancelled delta rows (ops/gridsel._delta_rows).
+    ``pk`` packs q | qB << _QBITS (both host-resolved exact int64);
+    ``rowc`` is the per-lane crossing row clipped to [0, JTP].
+
+    Round-5 history: (a) a pl.when-guarded full variant-B build taxed
+    EVERY tile ~0.2-0.3 ms/block even with the branch essentially never
+    taken (the round-3 boundary-tile finding again) — hence
+    unconditional; (b) a single-matmul gamma*mm(dD) merge (tap
+    continuity) measured 5e-4 errors at bank-WRAP crossings, where the
+    window shifts one sample and dV gains O(tap) edge terms — hence the
+    exact two-matmul pair."""
     f32 = jnp.float32
     q = jax.lax.bitwise_and(pk, jnp.int32((1 << _QBITS) - 1))
 
@@ -379,14 +378,15 @@ def _valder_flow(o_write, mm3, mm1, pk, rowc, rowf, rows, *, T: int,
     qB = jax.lax.bitwise_and(
         jax.lax.shift_right_logical(pk, jnp.int32(_QBITS)),
         jnp.int32((1 << _QBITS) - 1))
-    kdV, kdD = place_pair(jnp.minimum(q, qB), rows[2], rows[3], T + 1)
+    qd = jnp.minimum(q, qB)
+    kdV, kdD = place_pair(qd, rows[2], rows[3], T + 1)
     o_write(y + mask * (mm1(kdV) + drift * mm1(kdD)))
 
 
-def _kernel_fused(pk_ref, rowc_ref, main, nxt, tr_ref, o_ref, *, JT: int,
-                  M2: int, sp2: int, T: int, L2: int, L2p: int, dir_: int,
-                  deps: float, three_pass: bool, packed: bool = False,
-                  d_pass: int = 1):
+def _kernel_fused(pk_ref, rowc_ref, a0_ref, main, nxt, tr_ref, o_ref, *,
+                  JT: int, M2: int, sp2: int, T: int, L2: int, L2p: int,
+                  dir_: int, deps: float, three_pass: bool, nv: int,
+                  packed: bool = False, d_pass: int = 1):
     sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
     mm3, mm1 = _make_mm_fused(main, nxt, JT=JT, M2=M2, sp2=sp2,
                               three_pass=three_pass)
@@ -398,10 +398,11 @@ def _kernel_fused(pk_ref, rowc_ref, main, nxt, tr_ref, o_ref, *, JT: int,
         o_ref[:, :] = y[:, :L2].astype(o_ref.dtype)
 
     _valder_flow(o_write, mm3, mm3 if d_pass == 3 else mm1,
-                 pk_ref[sub, :], rowc_ref[sub, :],
-                 rowf, _rows_of(tr_ref, packed, dir_), T=T, sp2=SP2R,
+                 pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
+                 rowf, _rows_of(tr_ref, nv), T=T, sp2=SP2R,
                  L2=L2, L2p=L2p, JTP=JT, dir_=dir_, deps=deps,
-                 packed=packed, place2=_seg_place2(M2, sp2))
+                 packed=packed, place2=_seg_place2(M2, sp2),
+                 place1=_seg_place1(M2, sp2))
 
 
 def _kernel_farrow_horner_fused(pk_ref, rowc_ref, a0_ref, main, nxt,
@@ -460,23 +461,24 @@ def _launch_fused(kern, packs, xrows, meta_t, num_tiles, interpret,
     )(*packs, xrows, xrows, *tile_banks, *banks)
 
 
-def gridsel_resample_fused(xrows, pk, rowc, vdrows, *, JT, M2, sp2, T,
-                           L2, L2p, dir_, deps, num_tiles,
+def gridsel_resample_fused(xrows, pk, rowc, a0, vdrows, *, JT, M2, sp2,
+                           T, L2, L2p, dir_, deps, num_tiles, nv,
                            three_pass=True, packed=False, d_pass=1,
                            interpret=False):
     """Fused-input single-channel valder resample (arb AND Farrow — the
     kernels unified once taps became host VALUES): consumes the (R, M2)
     row view directly (no HBM overlap tiling); two-segment band matmul.
     ``vdrows``: (tiles8, NV*T8, L2p) f32 host-evaluated value/derivative
-    tap rows (ops/gridsel._valder_rows_*). ``d_pass``: 3 -> contract the
-    drift row at full 3-pass grade (arb plans whose within-tile alpha
-    drift exceeds the 1-pass bf16 budget; the fold is exactly linear so
-    only the matmul grade matters)."""
+    tap rows (ops/gridsel._valder_rows_*); ``nv`` its block count.
+    ``d_pass``: 3 -> contract the drift/delta rows at full 3-pass grade
+    (arb plans whose within-tile alpha drift exceeds the 1-pass bf16
+    budget; the fold is exactly linear so only the matmul grade
+    matters)."""
     kern = functools.partial(_kernel_fused, JT=JT, M2=M2, sp2=sp2, T=T,
                              L2=L2, L2p=L2p, dir_=dir_, deps=deps,
                              three_pass=three_pass, packed=packed,
-                             d_pass=d_pass)
-    return _launch_fused(kern, (pk, rowc), xrows, (JT, M2, L2, L2p),
+                             d_pass=d_pass, nv=nv)
+    return _launch_fused(kern, (pk, rowc, a0), xrows, (JT, M2, L2, L2p),
                          num_tiles, interpret, tile_banks=(vdrows,))
 
 
@@ -516,10 +518,10 @@ def _batch_rowf(CB, JTP, L2p):
         jnp.int32(JTP - 1)).astype(jnp.float32)
 
 
-def _kernel_batch(pk_ref, rowc_ref, xa, tr_ref, o_ref, *, CB: int,
-                  JT: int, M2: int, sp2: int, T: int, L2: int, L2p: int,
-                  dir_: int, deps: float, packed: bool = False,
-                  d_pass: int = 1):
+def _kernel_batch(pk_ref, rowc_ref, a0_ref, xa, tr_ref, o_ref, *,
+                  CB: int, JT: int, M2: int, sp2: int, T: int, L2: int,
+                  L2p: int, dir_: int, deps: float, nv: int,
+                  packed: bool = False, d_pass: int = 1):
     sub = jax.lax.rem(pl.program_id(1), jnp.int32(8))
     M2p = xa.shape[-1]
     X0 = xa[...].reshape(CB * JT, M2p)
@@ -530,10 +532,11 @@ def _kernel_batch(pk_ref, rowc_ref, xa, tr_ref, o_ref, *, CB: int,
             o_ref[c, :, :] = y[c * JT:(c + 1) * JT, :L2].astype(o_ref.dtype)
 
     _valder_flow(o_write, mm3, mm3 if d_pass == 3 else mm1,
-                 pk_ref[sub, :], rowc_ref[sub, :],
-                 _batch_rowf(CB, JT, L2p), _rows_of(tr_ref, packed, dir_),
+                 pk_ref[sub, :], rowc_ref[sub, :], a0_ref[sub, :],
+                 _batch_rowf(CB, JT, L2p), _rows_of(tr_ref, nv),
                  T=T, sp2=sp2, L2=L2, L2p=L2p, JTP=JT, dir_=dir_,
-                 deps=deps, packed=packed, place2=_place2)
+                 deps=deps, packed=packed, place2=_place2,
+                 place1=_place1)
 
 
 def _kernel_farrow_horner_batch(pk_ref, rowc_ref, a0_ref, xa, cf_ref,
@@ -587,9 +590,9 @@ def _launch_batch(kern, packs, x3d, meta_t, num_tiles, CB, interpret,
     )(*packs, x3d, *tile_banks, *banks)
 
 
-def gridsel_resample_batch(x3d, pk, rowc, vdrows, *, CB, JT, M2, sp2, T,
-                           L2, L2p, dir_, deps, num_tiles, packed=False,
-                           d_pass=1, interpret=False):
+def gridsel_resample_batch(x3d, pk, rowc, a0, vdrows, *, CB, JT, M2, sp2,
+                           T, L2, L2p, dir_, deps, num_tiles, nv,
+                           packed=False, d_pass=1, interpret=False):
     """Batched valder resample over overlap-tiled ``x3d`` (C, R, M2p);
     all channels share the packed per-tile index state AND the host V/D
     rows (built once, DMA'd per tile). C % CB == 0 and JT a power of two
@@ -597,8 +600,8 @@ def gridsel_resample_batch(x3d, pk, rowc, vdrows, *, CB, JT, M2, sp2, T,
     assert x3d.shape[0] % CB == 0 and (JT & (JT - 1)) == 0
     kern = functools.partial(_kernel_batch, CB=CB, JT=JT, M2=M2, sp2=sp2,
                              T=T, L2=L2, L2p=L2p, dir_=dir_, deps=deps,
-                             packed=packed, d_pass=d_pass)
-    return _launch_batch(kern, (pk, rowc), x3d,
+                             packed=packed, d_pass=d_pass, nv=nv)
+    return _launch_batch(kern, (pk, rowc, a0), x3d,
                          (JT, x3d.shape[-1], L2, L2p), num_tiles, CB,
                          interpret, tile_banks=(vdrows,))
 

@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import PHASE_FRAC_BITS
 
-__all__ = ["chan_resample_v4", "chan_resample_farrow_v4", "v4_geometry"]
+__all__ = ["chan_resample_v4", "chan_resample_farrow_v4", "v4_geometry",
+           "chan_resample_tm", "chan_resample_farrow_tm", "tm_geometry"]
 
 _LANES = 128
 _NO = 128          # outputs per tile (one matmul N dimension)
@@ -256,3 +257,152 @@ def chan_resample_farrow_v4(x2, u0, coeffs, nphi: int, delta_fx: int,
                   UW=geo.uw)
     return _launch(geo, packed, bases, tapsT, x2.astype(jnp.float32),
                    n_out, C, interpret, static)
+
+
+# --------------------------------------------------------------------------- #
+# Time-major ("tm") variant: x arrives (E, C) — time on the SUBLANE axis,
+# channels on lanes. Each output tile's window is then a sublane-contiguous
+# (UW, C) block whose start quantizes to the GB-row DMA granularity instead
+# of the channel-major layout's 128-LANE flooring: at rate ~0.92 the
+# channel-major UW was 384 lanes for a ~139-sample true span (2.8x x
+# re-read, and placement cost 3*T*UW/C per output-sample — ROADMAP round-5
+# item 2); time-major with GB=32 needs UW ~ 192 rows. The matmul contracts
+# the window axis on the SUBLANE side of both operands:
+#     Y (NO, C) = sum_u K3[u, :NO] * Xw[u, :C]    (dot_general, no
+# materialized transpose), so outputs come back time-major too — the
+# whole path stays (E, C) end-to-end with no transpose pass. C pads to
+# the 128-lane quantum (C = 64 pays 2x lane padding; C >= 128 is free).
+# --------------------------------------------------------------------------- #
+
+_TM_GB = 32        # DMA block rows (window-start quantization)
+
+
+class TMGeometry:
+    def __init__(self, nphi, delta_fx, T, n_out, C):
+        D = nphi << PHASE_FRAC_BITS
+        self.D = D
+        self.tiles = -(-n_out // _NO)
+        self.tiles8 = -(-self.tiles // 8) * 8
+        span = ((_NO - 1) * delta_fx + D - 1) // D + 1
+        self.uw = -(-(span + T + _TM_GB) // _TM_GB) * _TM_GB
+        q_hi = ((self.tiles8 * _NO - 1) * delta_fx) // D + 2
+        self.xblocks = q_hi // _TM_GB + self.uw // _TM_GB + 1
+        self.ok = (T <= _TM_GB and self.uw < (1 << _QBITS)
+                   and self.tiles8 <= _MAX_TILES)
+
+
+def tm_geometry(nphi, delta_fx, T, n_out, C):
+    g = TMGeometry(nphi, delta_fx, T, n_out, C)
+    return g if g.ok else None
+
+
+def _prep_indices_tm(geo, nphi, delta_fx, u0):
+    """Like _prep_indices but with GB-row window-start quantization."""
+    D = geo.D
+    tiles8 = geo.tiles8
+    qd, rd = divmod(delta_fx, D)
+    j = jnp.arange(tiles8, dtype=jnp.int64)
+    from .. import indexing as idx
+
+    in_base, u_base = idx._muladd_divmod(j * _NO, delta_fx, u0, D)
+    s = jax.lax.broadcasted_iota(jnp.int64, (tiles8, _NO), 1)
+    t = u_base[:, None] + s * rd
+    rem = t % D
+    q_abs = in_base[:, None] + s * qd + t // D
+    bases = jnp.clip(q_abs[:, 0] // _TM_GB, 0,
+                     geo.xblocks - geo.uw // _TM_GB).astype(jnp.int32)
+    q_blk = jnp.clip(q_abs - bases.astype(jnp.int64)[:, None] * _TM_GB,
+                     0, (1 << _QBITS) - 1).astype(jnp.int32)
+    return q_blk, bases, rem
+
+
+def _ktm_kernel(bases_ref, pk_ref, *rest, T: int, UW: int, NXB: int):
+    f32 = jnp.float32
+    xparts = rest[:NXB]
+    taps_ref, o_ref = rest[NXB], rest[NXB + 1]
+    sub = jax.lax.rem(pl.program_id(0), jnp.int32(8))
+    xw = jnp.concatenate([xp[...] for xp in xparts], axis=0)  # (UW, C)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (UW, _NO), 0)
+    qw = jax.lax.bitwise_and(pk_ref[sub, :],
+                             jnp.int32((1 << _QBITS) - 1))
+    tapsT = taps_ref[0]                          # (T128, NO) host-built
+    xh, xl = _ksplit16(xw)
+    k3 = jnp.zeros((UW, _NO), f32)
+    for t in range(T):
+        m = iota_u == (qw + jnp.int32(t))[None, :]
+        k3 = k3 + jnp.where(m, tapsT[t:t + 1, :], jnp.float32(0.0))
+    kh, kl = _ksplit16(k3)
+    # contraction over the shared SUBLANE axis u of K (UW, NO) and
+    # Xw (UW, C): dot_general(((0,), (0,))) -> (NO, C). The K-side is
+    # the thin/stationary operand; [kh; kl] row-stacking shares the xh
+    # weight load across both (the v4 trick, transposed).
+    dn = (((0,), (0,)), ((), ()))
+    ks2 = jnp.concatenate([kh, kl], axis=1)              # (UW, 2*NO)
+    p2 = jax.lax.dot_general(ks2, xh, dn,
+                             preferred_element_type=f32)  # (2NO, C)
+    acc = (p2[:_NO] + p2[_NO:]
+           + jax.lax.dot_general(kh, xl, dn, preferred_element_type=f32))
+    o_ref[:, :] = acc
+
+
+def _launch_tm(geo, packed, bases, tapsT, xt, n_out, C, interpret,
+               static):
+    need = geo.xblocks * _TM_GB
+    xp = jnp.pad(xt, ((0, max(0, need - xt.shape[0])), (0, 0)))[:need]
+    nxb = geo.uw // _TM_GB
+    grid8 = lambda j, b: (jax.lax.div(j, jnp.int32(8)), j * 0)  # noqa: E731
+
+    def xmap(i):
+        return lambda j, b, _i=i: (b[j] + _i, j * 0)
+
+    out = pl.pallas_call(
+        functools.partial(_ktm_kernel, NXB=nxb, **static),
+        out_shape=jax.ShapeDtypeStruct((geo.tiles8 * _NO, C), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(geo.tiles8,),
+            in_specs=[
+                pl.BlockSpec((8, _NO), grid8),
+                *[pl.BlockSpec((_TM_GB, C), xmap(i)) for i in range(nxb)],
+                pl.BlockSpec((1, *tapsT.shape[1:]),
+                             lambda j, b: (j, j * 0, j * 0)),
+            ],
+            out_specs=pl.BlockSpec((_NO, C), lambda j, b: (j, j * 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(bases, packed, *([xp] * nxb), tapsT)
+    return out[:n_out]
+
+
+def chan_resample_tm(xt, u0, pfb, dpfb, nphi: int, delta_fx: int,
+                     n_out: int, interpret: bool = False):
+    """TIME-MAJOR batched arbitrary resample: xt (E, C) deficit-shifted
+    channels sharing phase accumulator u0. Returns (n_out, C) float32
+    (time-major; no transpose anywhere on the path)."""
+    T = pfb.shape[0]
+    C = xt.shape[1]
+    geo = tm_geometry(nphi, delta_fx, T, n_out, C)
+    if geo is None:
+        raise ValueError("tm geometry inapplicable")
+    packed, bases, rem = _prep_indices_tm(geo, nphi, delta_fx, u0)
+    tapsT = _host_taps_arb(pfb, dpfb, rem, nphi)
+    static = dict(T=T, UW=geo.uw)
+    return _launch_tm(geo, packed, bases, tapsT, xt.astype(jnp.float32),
+                      n_out, C, interpret, static)
+
+
+def chan_resample_farrow_tm(xt, u0, coeffs, nphi: int, delta_fx: int,
+                            n_out: int, interpret: bool = False):
+    """TIME-MAJOR batched Farrow resample: xt (E, C). -> (n_out, C)."""
+    P1, T = coeffs.shape
+    C = xt.shape[1]
+    geo = tm_geometry(nphi, delta_fx, T, n_out, C)
+    if geo is None:
+        raise ValueError("tm geometry inapplicable")
+    packed, bases, rem = _prep_indices_tm(geo, nphi, delta_fx, u0)
+    tapsT = _host_taps_farrow(coeffs, rem, nphi)
+    static = dict(T=T, UW=geo.uw)
+    return _launch_tm(geo, packed, bases, tapsT, xt.astype(jnp.float32),
+                      n_out, C, interpret, static)

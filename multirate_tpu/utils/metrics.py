@@ -25,7 +25,8 @@ import time
 import numpy as np
 
 __all__ = ["ThroughputReport", "measure", "measure_chained",
-           "chained_seconds_per_call", "hbm_roofline_samples_per_s",
+           "chained_seconds_per_call", "chained_fn_seconds",
+           "hbm_roofline_samples_per_s",
            "KNOWN_HBM_GBPS", "stream_copy_gbps", "stream_expand_gbps"]
 
 # Peak HBM bandwidth per chip, GB/s (public figures).
@@ -80,7 +81,8 @@ def _roofline_fraction(in_sps, rate, itemsize, device):
 def chained_seconds_per_call(params, state, x, path: str = "auto",
                              repeat: int = 50, iters: int = 6,
                              max_extra: int = 20000,
-                             target_t1: float | None = None) -> float:
+                             target_t1: float | None = None,
+                             time_major: bool = False) -> float:
     """Per-call seconds of ``filt_block_raw(params, state, x, path)``.
 
     Times a serialized dependency chain at two trip counts and returns the
@@ -105,7 +107,10 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
     import jax.numpy as jnp
     from jax import lax
 
-    from ..ops.compute import filt_block_raw
+    from ..ops.compute import filt_block_raw, filt_block_tm_raw
+
+    if time_major:
+        filt_block_raw = filt_block_tm_raw  # noqa: F811 — same signature
 
     # params MUST be a jit argument, not a closure constant: closed-over
     # device arrays hit the axon relay's large-constant pathology
@@ -189,6 +194,58 @@ def measure_chained(params, state, x, path: str = "auto",
         roofline_fraction=_roofline_fraction(in_sps, rate, itemsize, device))
 
 
+def chained_fn_seconds(fn, x, repeat: int = 40, iters: int = 4,
+                       max_extra: int = 20000,
+                       target_t1: float = 0.6) -> float:
+    """Per-call seconds of a bare ``fn(x) -> y`` array function on the
+    relay-attached TPU: the chained_seconds_per_call methodology (traced
+    fori_loop trip count -> one compile; serialized dependency via a
+    single in-place element update; slope of two trip counts, median of
+    3) for kernel-level A/Bs that don't go through filt_block."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @partial(jax.jit, static_argnames=())
+    def many(xx, reps):
+        def body(i, carry):
+            xx, acc = carry
+            y = fn(xx)
+            last = y.ravel()[-1]
+            xx = xx.at[(0,) * xx.ndim].add((last * 1e-30).astype(xx.dtype))
+            return (xx, acc + last.astype(acc.dtype))
+        _, acc = lax.fori_loop(0, reps, body,
+                               (xx, jnp.zeros((), jnp.float32)))
+        return acc
+
+    def run(reps):
+        return float(many(x, jnp.int32(reps)))
+
+    def tmin(reps, it):
+        ts = []
+        for _ in range(it):
+            t0 = time.perf_counter()
+            run(reps)
+            ts.append(time.perf_counter() - t0)
+        return float(np.min(ts))
+
+    rp = max(2, repeat // 10)
+    run(rp)
+    per0 = max(tmin(rp, 2) / rp, 1e-6)
+    r1 = int(np.clip(target_t1 / per0, rp, repeat))
+    t1 = tmin(r1, iters)
+    per_est = max(t1 / r1, 1e-6)
+    r2 = r1 + max(r1, min(int(0.5 / per_est), max_extra))
+    slopes = []
+    for _ in range(3):
+        a = tmin(r1, iters)
+        b = tmin(r2, iters)
+        slopes.append(max((b - a) / (r2 - r1), 1e-9))
+    return float(np.median(slopes))
+
+
 def measure(fn, *args, in_samples: int, out_samples: int,
             iters: int = 20, warmup: int = 3,
             rate: float | None = None, itemsize: int = 4,
@@ -227,7 +284,8 @@ def measure(fn, *args, in_samples: int, out_samples: int,
 
 
 def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
-                     iters: int = 3, seed: int = 0) -> float:
+                     iters: int = 3, seed: int = 0,
+                     dtype=None) -> float:
     """Measured Pallas tile-copy bandwidth (read+write, GB/s) at an
     HBM-RESIDENT working set: the ACHIEVABLE ceiling of this grid/DMA
     stack, as opposed to the paper HBM figure (KNOWN_HBM_GBPS).
@@ -248,11 +306,14 @@ def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    dt = jnp.dtype(dtype or jnp.float32)
+    isz = dt.itemsize
     JT, W = 384, 1024
     R = n_floats // W
     T = R // JT
-    x = jnp.asarray(np.random.default_rng(seed)
-                    .standard_normal(T * JT * W).astype(np.float32))
+    xr = np.random.default_rng(seed).standard_normal(T * JT * W)
+    x = jnp.asarray((xr * 16).astype(dt) if dt == jnp.int8
+                    else xr.astype(dt))
 
     def kern(xa, o_ref):
         o_ref[:, :] = xa[:, :]
@@ -261,7 +322,7 @@ def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
         x2d = xv.reshape(T * JT, W)
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((T * JT, W), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((T * JT, W), dt),
             grid=(T,),
             in_specs=[pl.BlockSpec((JT, W), lambda j: (j, j * 0))],
             out_specs=pl.BlockSpec((JT, W), lambda j: (j, j * 0)),
@@ -275,7 +336,7 @@ def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
         def body(i, carry):
             xx, acc = carry
             y = one(xx)
-            last = y[-1, -1]
+            last = y[-1, -1].astype(jnp.float32)
             xx = xx.at[0].add((last * 1e-30).astype(xx.dtype))
             return (xx, acc + last)
         _, acc = lax.fori_loop(0, reps, body, (xx, jnp.float32(0)))
@@ -298,12 +359,12 @@ def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
         a, b = tmin(repeat), tmin(r2)
         slopes.append(max((b - a) / (r2 - repeat), 1e-9))
     sec = float(np.median(slopes))
-    return 2 * 4 * (T * JT * W) / sec / 1e9
+    return 2 * isz * (T * JT * W) / sec / 1e9
 
 
 def stream_expand_gbps(ratio: int = 4, n_floats: int = 8_000_000,
                        repeat: int = 10, iters: int = 3,
-                       seed: int = 0) -> float:
+                       seed: int = 0, out_dtype=None) -> float:
     """Write-heavy (1:ratio) stream bandwidth (GB/s, read+write counted):
     the pattern-matched ceiling for interpolator-shaped kernels, which
     write ``ratio`` output samples per input.
@@ -317,7 +378,13 @@ def stream_expand_gbps(ratio: int = 4, n_floats: int = 8_000_000,
     artifact (ROADMAP round-3 finding 1 applies to write probes), and a
     non-interleaved run during a fast relay-pace window measured 724
     GB/s — the pace drifts ~2x between windows, so CROSS-PROCESS probe
-    comparisons are invalid; only same-process interleaved A/Bs count."""
+    comparisons are invalid; only same-process interleaved A/Bs count.
+
+    ``out_dtype`` (default f32): store the expanded stream narrowed to
+    bf16/int8 instead — the probe for quantized-OUTPUT interp modes.
+    Bytes are counted at the actual store width; whether Mosaic's
+    narrowing-store relayout (docs/kernels.md, exp43) eats the byte
+    saving is exactly what the number answers."""
     from functools import partial
 
     import jax
@@ -326,6 +393,8 @@ def stream_expand_gbps(ratio: int = 4, n_floats: int = 8_000_000,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    odt = jnp.dtype(out_dtype or jnp.float32)
+    osz = odt.itemsize
     W = 128
     R = (n_floats // W // 512) * 512
     x = jnp.asarray(np.random.default_rng(seed)
@@ -333,12 +402,15 @@ def stream_expand_gbps(ratio: int = 4, n_floats: int = 8_000_000,
 
     def kern(xa, o_ref):
         v = xa[...]
-        o_ref[:, :] = jnp.concatenate([v] * ratio, axis=1)
+        wide = jnp.concatenate([v] * ratio, axis=1)
+        if odt == jnp.int8:
+            wide = jnp.clip(wide * jnp.float32(32.0), -127, 127)
+        o_ref[:, :] = wide.astype(odt)
 
     def one(xv):
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((R, ratio * W), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((R, ratio * W), odt),
             grid=(R // 512,),
             in_specs=[pl.BlockSpec((512, W), lambda j: (j, j * 0))],
             out_specs=pl.BlockSpec((512, ratio * W), lambda j: (j, j * 0)),
@@ -352,8 +424,8 @@ def stream_expand_gbps(ratio: int = 4, n_floats: int = 8_000_000,
         def body(i, carry):
             xx, acc = carry
             y = one(xx)
-            last = y[-1, -1]
-            xx = xx.at[0, 0].add((last * 1e-30).astype(xx.dtype))
+            last = y[-1, -1].astype(jnp.float32)
+            xx = xx.at[0, 0].add(last * 1e-30)
             return (xx, acc + last)
         _, acc = lax.fori_loop(0, reps, body, (xx, jnp.float32(0)))
         return acc
@@ -375,4 +447,4 @@ def stream_expand_gbps(ratio: int = 4, n_floats: int = 8_000_000,
         a, b = tmin(repeat), tmin(r2)
         slopes.append(max((b - a) / (r2 - repeat), 1e-9))
     sec = float(np.median(slopes))
-    return (1 + ratio) * 4 * (R * W) / sec / 1e9
+    return (4 + ratio * osz) * (R * W) / sec / 1e9
