@@ -28,17 +28,25 @@ def main():
     log("device:", jax.devices()[0].device_kind)
     rounds = {"copy": [], "exp_f32": [], "exp_bf16": [], "exp_int8": [],
               "copy_s8": []}
+    # 32M-float inputs: every variant's input+output working set must
+    # exceed the v5e's 128 MB VMEM or the probe measures VMEM (round-3
+    # finding 1 — the first 8M attempt read 6.9 TB/s for bf16 stores)
+    NF = 32_000_000
     for r in range(3):
         rounds["copy"].append(stream_copy_gbps())
-        rounds["exp_f32"].append(stream_expand_gbps(out_dtype=jnp.float32))
+        rounds["exp_f32"].append(
+            stream_expand_gbps(n_floats=NF, out_dtype=jnp.float32))
         rounds["exp_bf16"].append(
-            stream_expand_gbps(out_dtype=jnp.bfloat16))
-        rounds["exp_int8"].append(stream_expand_gbps(out_dtype=jnp.int8))
+            stream_expand_gbps(n_floats=NF, out_dtype=jnp.bfloat16))
+        rounds["exp_int8"].append(
+            stream_expand_gbps(n_floats=NF, out_dtype=jnp.int8))
         # same ELEMENT count as the f32 copy (1/4 the bytes): does an
         # int8-element stream sustain the same GB/s (VERDICT r5 item 6 —
         # is the int8 zc kernel's ceiling higher than the f32-measured
-        # copy number implies)?
-        rounds["copy_s8"].append(stream_copy_gbps(dtype=jnp.int8))
+        # copy number implies)? 4x the elements so the byte-halved
+        # working set still exceeds VMEM.
+        rounds["copy_s8"].append(
+            stream_copy_gbps(n_floats=4 * NF, dtype=jnp.int8))
         log(f"round {r}: " + "  ".join(
             f"{k}={v[-1]:.0f}GB/s" for k, v in rounds.items()))
     log("medians: " + "  ".join(

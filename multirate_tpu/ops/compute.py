@@ -388,11 +388,15 @@ def _run_zc(params, history, phi0, d0, x, n_max, plan):
     interp = jax.default_backend() != "tpu"
     xlen = x.shape[-1]
 
+    sd = getattr(params, "store_dtype", None)
+
     def run(xv, hv):
         return rational_supercycle_zc(xv, hv, k_stack, dsel, gL, gM,
                                       n_max, groups, geo,
                                       three_pass=three_pass,
-                                      interpret=interp)
+                                      interpret=interp,
+                                      out_dtype=(jnp.dtype(sd) if sd
+                                                 is not None else None))
 
     if x.ndim == 1:
         return run(x, history)
@@ -993,8 +997,19 @@ def filt_block_raw(params, state: FilterState, x, path: str = "auto"):
     """
     if path == "auto":
         path = _auto_path(params, x)
+    # narrow-output mode (make_kernel store_dtype): the zc Pallas kernel
+    # stores narrow in-kernel (free); every other path pays one XLA cast
+    # pass at the end (the astype is a no-op when dtypes already match)
+    sd = getattr(params, "store_dtype", None)
+    if sd is not None:
+        def _cast(r):
+            y, c, s = r
+            return y.astype(jnp.dtype(sd)), c, s
+    else:
+        def _cast(r):
+            return r
     if path in ("windows", "slices"):
-        return _IMPL[type(params)](params, state, x, path)
+        return _cast(_IMPL[type(params)](params, state, x, path))
     taps = params.taps_rev if hasattr(params, "taps_rev") else params.pfb
     if (jnp.issubdtype(taps.dtype, jnp.complexfloating)
             and isinstance(params, (FIRArbitrary, FIRFarrow))):
@@ -1018,7 +1033,7 @@ def filt_block_raw(params, state: FilterState, x, path: str = "auto"):
             x.dtype)
         return y, count, FilterState(history=nh, phase=st2.phase,
                                      deficit=st2.deficit)
-    return _IMPL[type(params)](params, state, x, path)
+    return _cast(_IMPL[type(params)](params, state, x, path))
 
 
 def filt_block_tm_raw(params, state: FilterState, xt, path: str = "auto"):

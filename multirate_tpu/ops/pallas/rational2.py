@@ -830,7 +830,7 @@ def _kernel_zc_fused(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, xt_ref,
 def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                            n_out: int, groups: tuple, geo,
                            three_pass: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False, out_dtype=None):
     """Zero-copy rational supercycle resample over flat ``x``.
 
     x: (xlen,) at the stream origin of THIS block; hist: (>= S*gM,)
@@ -843,7 +843,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
     cost a full extra HBM read+write pass over y).
     """
     S = zc_s(x.dtype)
-    odt = ZC_OUT_DTYPE_OVERRIDE or (
+    odt = out_dtype or ZC_OUT_DTYPE_OVERRIDE or (
         jnp.int32 if x.dtype == jnp.int8
         else jnp.float32 if x.dtype == jnp.bfloat16
         else x.dtype)
