@@ -340,6 +340,15 @@ def _zc_plan(params, x, dt, n_max):
                                 FIRRational))
             and params.k_zc_hi is not None):
         return None
+    if (x.ndim > 1 and jax.default_backend() == "tpu"
+            and int(np.prod(x.shape[:-1])) > 8):
+        # vmapping the zc pallas_call adds a leading batch dim to its
+        # BlockSpecs, which Mosaic rejects (memory-space-ANY blocks must
+        # cover the whole array) — discovered on the c64 planar bench
+        # row. Small channel counts unroll a Python loop of per-channel
+        # kernel calls instead (_run_zc); larger ones run the XLA
+        # supercycle.
+        return None
     want = jnp.float32 if params.k_zc_lo is not None else params.k_zc_hi.dtype
     out_want = jnp.float32 if want == jnp.bfloat16 else want
     if x.dtype != want or dt != out_want:
@@ -401,13 +410,25 @@ def _run_zc(params, history, phi0, d0, x, n_max, plan):
     if x.ndim == 1:
         return run(x, history)
     lead = x.shape[:-1]
-    y = jax.vmap(run)(
-        x.reshape(-1, xlen), history.reshape(-1, history.shape[-1]))
+    x2 = x.reshape(-1, xlen)
+    h2 = history.reshape(-1, history.shape[-1])
+    if jax.default_backend() == "tpu":
+        # Mosaic rejects vmapped (batched-BlockSpec) pallas calls on real
+        # hardware; small channel counts (gated in _zc_plan) unroll to
+        # sequential per-channel kernel calls in one jitted graph
+        y = jnp.stack([run(x2[c], h2[c]) for c in range(x2.shape[0])])
+    else:
+        y = jax.vmap(run)(x2, h2)
     return y.reshape(*lead, y.shape[-1])
 
 
 def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):
     _, L, M, g = _band_geometry(params)
+    if xext.ndim > 1 and jax.default_backend() == "tpu":
+        # vmapped pallas_calls batch their BlockSpecs, which Mosaic
+        # rejects on real hardware (see _zc_plan note); batched inputs
+        # run the XLA supercycle (itself a batched MXU matmul)
+        path = "supercycle"
     grouped = _rational_groups(params) if path == "pallas" else None
     if jnp.issubdtype(dt, jnp.integer):
         # int8 quantized mode outside the zc plan: the XLA supercycle
@@ -1084,29 +1105,38 @@ def filt_block_tm_raw(params, state: FilterState, xt, path: str = "auto"):
                                       jnp.swapaxes(xt, 0, 1), path)
         return jnp.swapaxes(y2, 0, 1), cnt, st2
 
-    from .params import PHASE_FRAC_BITS
+    from .pallas.select4 import (_TM_GB, chan_resample_farrow_tm,
+                                 chan_resample_tm, tm_geometry)
 
-    D = params.nphi << PHASE_FRAC_BITS
-    max_step = int(params.delta_fx // D) + 1
     interp = jax.default_backend() != "tpu"
-    hist_tm = jnp.swapaxes(state.history, 0, 1).astype(xt.dtype)  # (H, C)
-    xext = jnp.concatenate([hist_tm, xt], axis=0) if H else xt
-    xs = lax.cond(
-        state.deficit == 1,
-        lambda: xext.astype(jnp.float32),
-        lambda: _shift_origin_tm(xext.astype(jnp.float32), state.deficit,
-                                 max_step + 2))
-    from .pallas.select4 import chan_resample_farrow_tm, chan_resample_tm
+    geo = tm_geometry(params.nphi, params.delta_fx, params.taps_per_phi,
+                      n_max, C)
+    # ONE materialization: [history, x, tail zeros] sized exactly to the
+    # kernel's padded row count, so the kernel-side jnp.pad is a no-op
+    # and the deficit shift folds into the scalar-prefetched window
+    # starts (d0 -> _prep_indices_tm) — the first cut paid THREE full
+    # HBM passes here (concat + shift cond + pad: measured 5.5 Gsps e2e
+    # vs the 11.4 Gsps bare kernel)
+    need = geo.xblocks * _TM_GB
+    hist_tm = jnp.swapaxes(state.history, 0, 1).astype(jnp.float32)
+    # pad-form prep (CLAUDE.md round-4 law 2: jnp.pad of [hist, x]
+    # materializes in one efficient pass; an n-piece concat costs ~2.5x)
+    xq = jnp.concatenate([hist_tm, xt.astype(jnp.float32)], axis=0)
+    xs = jnp.pad(xq, ((0, max(0, need - H - E)), (0, 0)))[:need]
 
     if isinstance(params, FIRArbitrary):
         y = chan_resample_tm(xs, state.phase, params.pfb, params.dpfb,
                              params.nphi, params.delta_fx, n_max,
-                             interpret=interp)
+                             interpret=interp, d0=state.deficit)
     else:
         y = chan_resample_farrow_tm(xs, state.phase, params.coeffs,
                                     params.nphi, params.delta_fx, n_max,
-                                    interpret=interp)
-    nh = (jnp.swapaxes(xext[xext.shape[0] - H:], 0, 1).astype(xt.dtype)
-          if H else state.history)
+                                    interpret=interp, d0=state.deficit)
+    if E >= H:
+        nh = jnp.swapaxes(xt[E - H:], 0, 1)
+    else:
+        nh = jnp.concatenate(
+            [state.history[..., E - H:].astype(xt.dtype),
+             jnp.swapaxes(xt, 0, 1)], axis=-1)
     return (y.astype(dt), count,
             FilterState(history=nh, phase=u_next, deficit=d0_next))

@@ -285,7 +285,11 @@ class TMGeometry:
         self.tiles8 = -(-self.tiles // 8) * 8
         span = ((_NO - 1) * delta_fx + D - 1) // D + 1
         self.uw = -(-(span + T + _TM_GB) // _TM_GB) * _TM_GB
-        q_hi = ((self.tiles8 * _NO - 1) * delta_fx) // D + 2
+        # + max_step slack rows: the deficit shift folds into q_abs
+        # (_prep_indices_tm d0), so windows can start up to d0-1 <=
+        # delta//D + 1 rows later than the fresh-stream bound
+        q_hi = (((self.tiles8 * _NO - 1) * delta_fx) // D + 2
+                + delta_fx // D + 2)
         self.xblocks = q_hi // _TM_GB + self.uw // _TM_GB + 1
         self.ok = (T <= _TM_GB and self.uw < (1 << _QBITS)
                    and self.tiles8 <= _MAX_TILES)
@@ -296,8 +300,13 @@ def tm_geometry(nphi, delta_fx, T, n_out, C):
     return g if g.ok else None
 
 
-def _prep_indices_tm(geo, nphi, delta_fx, u0):
-    """Like _prep_indices but with GB-row window-start quantization."""
+def _prep_indices_tm(geo, nphi, delta_fx, u0, d0=None):
+    """Like _prep_indices but with GB-row window-start quantization.
+
+    ``d0`` (traced deficit) folds the stream-origin shift INTO the
+    window starts (q_abs += d0-1) so callers never materialize a
+    shifted copy of x (the channel-major path's _shift_origin cond costs
+    a full extra HBM pass; geometry reserves d_max slack rows)."""
     D = geo.D
     tiles8 = geo.tiles8
     qd, rd = divmod(delta_fx, D)
@@ -309,6 +318,8 @@ def _prep_indices_tm(geo, nphi, delta_fx, u0):
     t = u_base[:, None] + s * rd
     rem = t % D
     q_abs = in_base[:, None] + s * qd + t // D
+    if d0 is not None:
+        q_abs = q_abs + (d0.astype(jnp.int64) - 1)
     bases = jnp.clip(q_abs[:, 0] // _TM_GB, 0,
                      geo.xblocks - geo.uw // _TM_GB).astype(jnp.int32)
     q_blk = jnp.clip(q_abs - bases.astype(jnp.int64)[:, None] * _TM_GB,
@@ -377,16 +388,17 @@ def _launch_tm(geo, packed, bases, tapsT, xt, n_out, C, interpret,
 
 
 def chan_resample_tm(xt, u0, pfb, dpfb, nphi: int, delta_fx: int,
-                     n_out: int, interpret: bool = False):
-    """TIME-MAJOR batched arbitrary resample: xt (E, C) deficit-shifted
-    channels sharing phase accumulator u0. Returns (n_out, C) float32
-    (time-major; no transpose anywhere on the path)."""
+                     n_out: int, interpret: bool = False, d0=None):
+    """TIME-MAJOR batched arbitrary resample: xt (E, C) channels sharing
+    phase accumulator u0 (and deficit d0, folded into the window starts
+    — no shifted x copy). Returns (n_out, C) float32 (time-major; no
+    transpose anywhere on the path)."""
     T = pfb.shape[0]
     C = xt.shape[1]
     geo = tm_geometry(nphi, delta_fx, T, n_out, C)
     if geo is None:
         raise ValueError("tm geometry inapplicable")
-    packed, bases, rem = _prep_indices_tm(geo, nphi, delta_fx, u0)
+    packed, bases, rem = _prep_indices_tm(geo, nphi, delta_fx, u0, d0)
     tapsT = _host_taps_arb(pfb, dpfb, rem, nphi)
     static = dict(T=T, UW=geo.uw)
     return _launch_tm(geo, packed, bases, tapsT, xt.astype(jnp.float32),
@@ -394,14 +406,15 @@ def chan_resample_tm(xt, u0, pfb, dpfb, nphi: int, delta_fx: int,
 
 
 def chan_resample_farrow_tm(xt, u0, coeffs, nphi: int, delta_fx: int,
-                            n_out: int, interpret: bool = False):
+                            n_out: int, interpret: bool = False,
+                            d0=None):
     """TIME-MAJOR batched Farrow resample: xt (E, C). -> (n_out, C)."""
     P1, T = coeffs.shape
     C = xt.shape[1]
     geo = tm_geometry(nphi, delta_fx, T, n_out, C)
     if geo is None:
         raise ValueError("tm geometry inapplicable")
-    packed, bases, rem = _prep_indices_tm(geo, nphi, delta_fx, u0)
+    packed, bases, rem = _prep_indices_tm(geo, nphi, delta_fx, u0, d0)
     tapsT = _host_taps_farrow(coeffs, rem, nphi)
     static = dict(T=T, UW=geo.uw)
     return _launch_tm(geo, packed, bases, tapsT, xt.astype(jnp.float32),

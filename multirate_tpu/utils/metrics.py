@@ -124,12 +124,16 @@ def chained_seconds_per_call(params, state, x, path: str = "auto",
         def body(i, carry):
             s, xx, acc = carry
             y, _, s = filt_block_raw(p, s, xx, path_)
-            last = y[..., -1].ravel()[0]
+            # flat last element: cheap for BOTH layouts (a y[..., -1]
+            # column slice on a time-major (n, C) output is a strided
+            # gather over the whole array — it added ~0.5 ms/iter and
+            # polluted the first farrow_64ch_tmajor measurements)
+            last = y.ravel()[-1]
             # int8 mode: LSB perturbation (not XLA-foldable; wraparound is
             # harmless for timing); float: 1e-30 epsilon
             upd = ((last & 1).astype(xx.dtype) if int_in
                    else (last * 1e-30).astype(xx.dtype))
-            xx = xx.at[..., 0].add(upd)
+            xx = xx.at[(0,) * xx.ndim].add(upd)
             # cast: y's dtype may differ from x's (bf16 mode emits f32)
             return (s, xx, acc + last.astype(acc.dtype))
         acc0 = jnp.zeros((), jnp.int32 if int_in else
