@@ -340,15 +340,6 @@ def _zc_plan(params, x, dt, n_max):
                                 FIRRational))
             and params.k_zc_hi is not None):
         return None
-    if (x.ndim > 1 and jax.default_backend() == "tpu"
-            and int(np.prod(x.shape[:-1])) > 8):
-        # vmapping the zc pallas_call adds a leading batch dim to its
-        # BlockSpecs, which Mosaic rejects (memory-space-ANY blocks must
-        # cover the whole array) — discovered on the c64 planar bench
-        # row. Small channel counts unroll a Python loop of per-channel
-        # kernel calls instead (_run_zc); larger ones run the XLA
-        # supercycle.
-        return None
     want = jnp.float32 if params.k_zc_lo is not None else params.k_zc_hi.dtype
     out_want = jnp.float32 if want == jnp.bfloat16 else want
     if x.dtype != want or dt != out_want:
@@ -358,10 +349,31 @@ def _zc_plan(params, x, dt, n_max):
                        shift_slack=_zc_slack(params))
     if groups is None:
         return None
+    if x.ndim > 1:
+        # STREAM-CONCAT batching: channels concatenate into ONE flat
+        # stream with an M-aligned gap region carrying each channel's
+        # history tail — gap % M == 0 and seg % M == 0 keep the shared
+        # (phase, deficit) state identical at every segment entry, so a
+        # single kernel call serves all channels at full zc speed.
+        # (vmapping the kernel batches its BlockSpecs, which Mosaic
+        # rejects on hardware; a loop of per-channel calls measured ~10x
+        # one call — round 5, the c64 planar row.)
+        C = int(np.prod(x.shape[:-1]))
+        xlen = x.shape[-1]
+        h_min = params.h_min
+        gap = h_min + ((-(xlen + h_min)) % M)
+        seg = xlen + gap
+        ops_seg = seg * L // M
+        n_tot = C * ops_seg + gap * L // M + 8
+        geo = zc_geometry(g * L, g * M, n_tot, C * seg,
+                          S=zc_s(x.dtype))
+        if geo is None:
+            return None
+        return groups, geo, (C, xlen, gap, seg, ops_seg, n_tot, L, M)
     geo = zc_geometry(g * L, g * M, n_max, x.shape[-1], S=zc_s(x.dtype))
     if geo is None:
         return None
-    return groups, geo
+    return groups, geo, None
 
 
 def _carry_history(params, state, x):
@@ -386,7 +398,7 @@ def _run_zc(params, history, phi0, d0, x, n_max, plan):
     from .pallas.rational2 import rational_supercycle_zc
 
     _, L, M, g = _band_geometry(params)
-    groups, geo = plan
+    groups, geo, batch_meta = plan
     gL, gM = g * L, g * M
     kh, kl = params.k_zc_hi, params.k_zc_lo
     three_pass = kl is not None  # single bf16 stack in the quantized mode
@@ -399,27 +411,40 @@ def _run_zc(params, history, phi0, d0, x, n_max, plan):
 
     sd = getattr(params, "store_dtype", None)
 
-    def run(xv, hv):
+    def run(xv, hv, n_out):
         return rational_supercycle_zc(xv, hv, k_stack, dsel, gL, gM,
-                                      n_max, groups, geo,
+                                      n_out, groups, geo,
                                       three_pass=three_pass,
                                       interpret=interp,
                                       out_dtype=(jnp.dtype(sd) if sd
                                                  is not None else None))
 
     if x.ndim == 1:
-        return run(x, history)
+        return run(x, history, n_max)
+    # STREAM-CONCAT batching (see _zc_plan): one flat kernel call over
+    # [gap_0 ++ x_0 ++ gap_1 ++ x_1 ++ ...] where gap_c = [zeros,
+    # history_c tail]; per-channel outputs are static slices of the flat
+    # grid output (segment alignment makes them exact).
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, xlen)
-    h2 = history.reshape(-1, history.shape[-1])
-    if jax.default_backend() == "tpu":
-        # Mosaic rejects vmapped (batched-BlockSpec) pallas calls on real
-        # hardware; small channel counts (gated in _zc_plan) unroll to
-        # sequential per-channel kernel calls in one jitted graph
-        y = jnp.stack([run(x2[c], h2[c]) for c in range(x2.shape[0])])
-    else:
-        y = jax.vmap(run)(x2, h2)
-    return y.reshape(*lead, y.shape[-1])
+    C, xl, gap, seg, ops_seg, n_tot, Lb, Mb = batch_meta
+    x2 = x.reshape(C, xl)
+    h2 = history.reshape(C, history.shape[-1])
+    h_min = params.h_min
+    histpad = jnp.concatenate(
+        [jnp.zeros((C, gap - h_min), x.dtype),
+         h2[:, h2.shape[-1] - h_min:].astype(x.dtype)], axis=-1)
+    xflat = jnp.concatenate([histpad, x2], axis=-1).reshape(C * seg)
+    zero_hist = jnp.zeros((history.shape[-1],), x.dtype)
+    y_flat = run(xflat, zero_hist, n_tot)
+    # ONE slice + free reshape: per-channel outputs are ops_seg apart, so
+    # a single off0-shifted window reshapes to (C, ops_seg) rows whose
+    # leading n_max entries are each channel's outputs; the tail padding
+    # rides the y_padded >= max_outputs contract (64 per-channel
+    # misaligned slices measured 0.47 ms/block — 2x the kernel itself)
+    off0 = gap * Lb // Mb
+    y = lax.slice_in_dim(y_flat, off0, off0 + C * ops_seg,
+                         axis=0).reshape(C, ops_seg)
+    return y.reshape(*lead, ops_seg)
 
 
 def _supercycle_dispatch(params, xext, phi0, d0, n_max, dt, path):

@@ -198,14 +198,18 @@ def measure_chained(params, state, x, path: str = "auto",
         roofline_fraction=_roofline_fraction(in_sps, rate, itemsize, device))
 
 
-def chained_fn_seconds(fn, x, repeat: int = 40, iters: int = 4,
+def chained_fn_seconds(fn, x, *extra, repeat: int = 40, iters: int = 4,
                        max_extra: int = 20000,
                        target_t1: float = 0.6) -> float:
-    """Per-call seconds of a bare ``fn(x) -> y`` array function on the
-    relay-attached TPU: the chained_seconds_per_call methodology (traced
-    fori_loop trip count -> one compile; serialized dependency via a
-    single in-place element update; slope of two trip counts, median of
-    3) for kernel-level A/Bs that don't go through filt_block."""
+    """Per-call seconds of a bare ``fn(x, *extra) -> y`` array function
+    on the relay-attached TPU: the chained_seconds_per_call methodology
+    (traced fori_loop trip count -> one compile; serialized dependency
+    via a single in-place element update; slope of two trip counts,
+    median of 3) for kernel-level A/Bs that don't go through filt_block.
+    Pass every large array operand via ``extra`` (jit ARGUMENTS) — a
+    closed-over device array is baked into the compile payload and trips
+    the relay's request-size limit (HTTP 413) / large-constant
+    pathology."""
     from functools import partial
 
     import jax
@@ -213,10 +217,10 @@ def chained_fn_seconds(fn, x, repeat: int = 40, iters: int = 4,
     from jax import lax
 
     @partial(jax.jit, static_argnames=())
-    def many(xx, reps):
+    def many(xx, reps, *ex):
         def body(i, carry):
             xx, acc = carry
-            y = fn(xx)
+            y = fn(xx, *ex)
             last = y.ravel()[-1]
             xx = xx.at[(0,) * xx.ndim].add((last * 1e-30).astype(xx.dtype))
             return (xx, acc + last.astype(acc.dtype))
@@ -225,7 +229,7 @@ def chained_fn_seconds(fn, x, repeat: int = 40, iters: int = 4,
         return acc
 
     def run(reps):
-        return float(many(x, jnp.int32(reps)))
+        return float(many(x, jnp.int32(reps), *extra))
 
     def tmin(reps, it):
         ts = []

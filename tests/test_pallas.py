@@ -533,7 +533,7 @@ def test_zc_fused_vs_separate_tail_branches(rng):
     n_max = idx.max_outputs(p, x.shape[-1])
     plan = cc._zc_plan(p, jnp.asarray(x), np.float32, n_max)
     assert plan is not None
-    _, geo = plan
+    _, geo, _ = plan
     jt, num_tiles, t_ok, _ = geo
     assert num_tiles > t_ok, "need a boundary tile to exercise"
     ref = np.asarray(mr.filt(h, x, F(147, 160), path="windows"))
