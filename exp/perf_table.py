@@ -21,11 +21,15 @@ LABELS = {
     "standard_147taps": "standard FIR, 147 taps",
     "decim_1_4": "decimator 1//4",
     "interp_4_1": "interpolator 4//1",
+    "interp_4_1_bf16out": "interpolator 4//1, bf16 outputs",
     "arbitrary_0.4709": "arbitrary rate 0.4709",
     "farrow_0.4709": "Farrow rate 0.4709",
     "farrow_64ch_batched": "Farrow, 64 channels",
+    "farrow_64ch_tmajor": "Farrow, 64 channels, time-major",
     "rational_147_160_bf16": "rational 147//160, bf16 quantized",
     "rational_147_160_int8": "rational 147//160, int8 quantized",
+    "rational_147_160_c64": "rational 147//160, complex64 (planar)",
+    "rational_147_160_f64": "rational 147//160, float64",
 }
 
 
