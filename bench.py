@@ -459,6 +459,19 @@ def main():
         bench_config("arbitrary_0.4709",
                      mr.make_kernel(ha, rate=0.4709, nphi=32),
                      0.4709, ha, x, arbp)
+        # the REFERENCE's own speed-harness rate (1/2.123456789,
+        # examples/Arb-Farrow Speed Comparison.jl:38-54). Its continued
+        # fraction has a tiny convergent residue (eps=-12.5k vs 0.4709's
+        # -29.2M), so the round-5 valder gridsel runs its cheap flow
+        # (host tap values, sparse crossings); 0.4709 = 4709/10000 keeps
+        # the large-residue regime covered (d_pass=3 / psi-Horner).
+        r_ref = 1.0 / 2.123456789
+        bench_config("arbitrary_refrate",
+                     mr.make_kernel(ha, rate=r_ref, nphi=32),
+                     r_ref, ha, x, ("gridsel",))
+        bench_config("farrow_refrate",
+                     mr.make_kernel(ha, rate=r_ref, nphi=32, polyorder=4),
+                     r_ref, ha, x, ("gridsel",))
         # ratgrid is not in the path matrix: its drift-bounded plan can't
         # cover 8M-input blocks (n_cap ~1.7M outputs) and would silently
         # degrade to gridsel — measuring it twice tells us nothing

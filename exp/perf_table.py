@@ -24,6 +24,8 @@ LABELS = {
     "interp_4_1_bf16out": "interpolator 4//1, bf16 outputs",
     "arbitrary_0.4709": "arbitrary rate 0.4709",
     "farrow_0.4709": "Farrow rate 0.4709",
+    "arbitrary_refrate": "arbitrary rate 1/2.123456789 (ref harness)",
+    "farrow_refrate": "Farrow rate 1/2.123456789 (ref harness)",
     "farrow_64ch_batched": "Farrow, 64 channels",
     "farrow_64ch_tmajor": "Farrow, 64 channels, time-major",
     "rational_147_160_bf16": "rational 147//160, bf16 quantized",
