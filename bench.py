@@ -466,9 +466,14 @@ def main():
         # (host tap values, sparse crossings); 0.4709 = 4709/10000 keeps
         # the large-residue regime covered (d_pass=3 / psi-Horner).
         r_ref = 1.0 / 2.123456789
+        # budget 1e-4 (not the 8e-5 float32 tripwire): the arb oracle
+        # floor is the REFERENCE's dh=[diff(h);0] wrap convention and is
+        # rate-dependent (how often the stream lands on phi=nphi-1 with
+        # large alpha — docs/kernels.md); this rate measures 7.8e-5 of
+        # pure method floor, kernels add <= 4.4e-6
         bench_config("arbitrary_refrate",
                      mr.make_kernel(ha, rate=r_ref, nphi=32),
-                     r_ref, ha, x, ("gridsel",))
+                     r_ref, ha, x, ("gridsel",), rms_budget=1e-4)
         bench_config("farrow_refrate",
                      mr.make_kernel(ha, rate=r_ref, nphi=32, polyorder=4),
                      r_ref, ha, x, ("gridsel",))
