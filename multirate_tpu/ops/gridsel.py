@@ -100,11 +100,17 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
             continue
         if L2 > 1024:
             continue
-        # Tile row cap (read per-plan for in-process A/B, exp51): the
-        # (JT, band) matmul dots run far under MXU peak at 256 rows
-        # (fixed per-dot overhead), and the placement pair amortizes
-        # with JT; VMEM bounds the top end.
-        jt_cap = int(os.environ.get("GRIDSEL_JT", "256"))
+        # Tile row cap (GRIDSEL_JT overrides; per-plan read for A/Bs):
+        # the (JT, band) matmul dots run far under MXU peak at 256 rows
+        # (fixed per-dot overhead) and the placement pair amortizes with
+        # JT — measured at the reference harness rate (round 5,
+        # interleaved): JT 256 -> 1024 takes arb 17.0 -> 20.8 and Farrow
+        # 15.3 -> 20.3 Gsps. VMEM bounds the top end (checked below);
+        # interpret-mode/CPU keeps 256 (tile work is simulated
+        # per-element and small test blocks pad to one full tile).
+        env_jt = int(os.environ.get("GRIDSEL_JT", "0"))
+        jt_cap = env_jt or (1024 if jax.default_backend() == "tpu"
+                            else 256)
         jt = min(jt_cap, cross_lim // max(abs(eps), 1))
         jt = (jt // 8) * 8
         if jt < 16:
