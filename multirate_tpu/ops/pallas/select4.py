@@ -274,7 +274,11 @@ def chan_resample_farrow_v4(x2, u0, coeffs, nphi: int, delta_fx: int,
 # the 128-lane quantum (C = 64 pays 2x lane padding; C >= 128 is free).
 # --------------------------------------------------------------------------- #
 
-_TM_GB = 32        # DMA block rows (window-start quantization)
+import os
+
+# DMA block rows (window-start quantization): smaller -> less window
+# re-read but more, smaller DMAs per tile (UW/GB of (GB, C) blocks)
+_TM_GB = int(os.environ.get("CHANSEL_TM_GB", "32"))
 
 
 class TMGeometry:
