@@ -100,21 +100,6 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
             continue
         if L2 > 1024:
             continue
-        # Tile row cap (GRIDSEL_JT overrides; per-plan read for A/Bs):
-        # the (JT, band) matmul dots run far under MXU peak at 256 rows
-        # (fixed per-dot overhead) and the placement pair amortizes with
-        # JT — measured at the reference harness rate (round 5,
-        # interleaved): JT 256 -> 1024 takes arb 17.0 -> 20.8 and Farrow
-        # 15.3 -> 20.3 Gsps. VMEM bounds the top end (checked below);
-        # interpret-mode/CPU keeps 256 (tile work is simulated
-        # per-element and small test blocks pad to one full tile).
-        env_jt = int(os.environ.get("GRIDSEL_JT", "0"))
-        jt_cap = env_jt or (1024 if jax.default_backend() == "tpu"
-                            else 256)
-        jt = min(jt_cap, cross_lim // max(abs(eps), 1))
-        jt = (jt // 8) * 8
-        if jt < 16:
-            continue
         if eps == 0:
             n_cap = N_CAP
         else:
@@ -124,6 +109,28 @@ def build_gridsel_plan(nphi: int, delta_fx: int, T: int,
         L2p = -(-L2 // 128) * 128
         sp2 = -(-(M2 + base) // 8) * 8
         if sp2 > 2 * M2:
+            continue
+        # Tile row cap (GRIDSEL_JT overrides; per-plan read for A/Bs):
+        # the (JT, band) matmul dots run far under MXU peak at 256 rows
+        # (fixed per-dot overhead) and the placement pair amortizes with
+        # JT — measured at the reference harness rate (round 5,
+        # interleaved): JT 256 -> 1024 -> 2048 takes arb 17.0 -> 20.8 ->
+        # 21.9 and Farrow 15.3 -> 20.3 -> 21.2 Gsps. The one-crossing
+        # bound and VMEM bound the top (jt halves until the VMEM model
+        # fits, so wide-sp2 candidates keep their best feasible tile);
+        # interpret-mode/CPU keeps 256 (tile work is simulated
+        # per-element and small test blocks pad to one full tile).
+        env_jt = int(os.environ.get("GRIDSEL_JT", "0"))
+        jt_cap = env_jt or (2048 if jax.default_backend() == "tpu"
+                            else 256)
+        jt = min(jt_cap, cross_lim // max(abs(eps), 1))
+        jt = (jt // 8) * 8
+        M2p_ = -(-sp2 // 128) * 128
+        while jt >= 16 and 4 * (2 * sp2 * L2p + 2 * (jt + 8) * M2p_
+                                + 6 * jt * L2p) > 12 * (1 << 20):
+            jt //= 2
+        jt = (jt // 8) * 8
+        if jt < 16:
             continue
         # Placement bound, checked statically (the Farrow kernel builds
         # variant-B tap matrices by a CIRCULAR sublane roll of variant A —
