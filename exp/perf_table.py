@@ -72,9 +72,15 @@ def table() -> str:
                   "figure — '% HBM roofline' uses the paper denominator "
                   "(BASELINE comparability), '% measured ceiling' the "
                   "achievable one (input + output bytes vs the measured "
-                  "copy rate); kernels above 100% of the ceiling move "
-                  "more bytes/s than the bare copy (see ROADMAP round-3 "
-                  "finding 6)."]
+                  "copy rate). Rows above 100% of the ceiling are "
+                  "explained by partial on-chip residency of the 8M "
+                  "block working set (the copy probe's 256 MB set is "
+                  "fully HBM-resident; >= 12M single-stream blocks "
+                  "measure the unbounded-stream rate ~30 Gsps — ROADMAP "
+                  "round-5 item 8). The 8M numbers are the honest BLOCK "
+                  "throughput for streaming pipelines reusing a "
+                  "resident block buffer, which is what the chained "
+                  "methodology models."]
     return "\n".join(lines)
 
 

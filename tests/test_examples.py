@@ -25,6 +25,7 @@ def _load(name):
 @pytest.mark.parametrize("name", [
     "dat_to_cd", "fir_arbitrary", "farrow_exact_delay",
     "interactive_farrow", "naive_vs_polyphase",
+    "multichannel_time_major",
 ])
 def test_example_runs(name, capsys):
     _load(name).main()
