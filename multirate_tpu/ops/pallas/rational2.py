@@ -623,7 +623,10 @@ def _zc_body(xcat, rest, *, JT: int, gM: int, groups: tuple,
                 v2 = rowview(k0 + 1)
                 acc = (mm(r1[:JT, :p1], 0, p1, gi, w)
                        + mm(v2[:JT, :span - p1], p1, span, gi, w))
-        o_ref[:, c0:c1] = acc.astype(out_dtype)
+        if o_ref.ndim == 3:      # narrow-lane output layout (see launch)
+            o_ref[:, c0 // 128, :] = acc.astype(out_dtype)
+        else:
+            o_ref[:, c0:c1] = acc.astype(out_dtype)
 
 
 def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
@@ -650,7 +653,7 @@ def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
         (k_ref, o_ref) = rest
     f32 = jnp.float32
     if "nobody" in _ZC_ABLATE:               # timing-only: bare structure
-        o_ref[:, :] = jnp.ones(o_ref.shape, o_ref.dtype)
+        o_ref[...] = jnp.ones(o_ref.shape, o_ref.dtype)
         return
     total = JT + 2 * S
     wide = _zc_compute_dtype(in_dt)          # 32-bit dtype rolls operate in
@@ -743,7 +746,10 @@ def _zc_body_v4(f_first, f_xa, f_next, rest, *, S: int, JT: int, gM: int,
                 part = mmk(chunk(u, lm0), r0, w, gi * 128, wc)
                 r0 += w
             acc = part if acc is None else acc + part
-        o_ref[:, c0:c1] = acc.astype(out_dtype)
+        if o_ref.ndim == 3:      # narrow-lane output layout (see launch)
+            o_ref[:, c0 // 128, :] = acc.astype(out_dtype)
+        else:
+            o_ref[:, c0:c1] = acc.astype(out_dtype)
 
 
 def _kernel_zc_main(dsel_ref, hist_ref, prev_ref, xa_ref, next_ref, *rest,
@@ -848,6 +854,25 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
         else jnp.float32 if x.dtype == jnp.bfloat16
         else x.dtype)
     JT, num_tiles, T_ok, R = geo
+    # Narrow-lane output layout (round 5): a (JT, L) out block with L on
+    # the lane axis DMAs at ~274 GB/s when L spans many 128-lane quanta,
+    # while the SAME flat bytes written as 128-lane rows sustain ~750-800
+    # (exp54 — writes post ~2.4x faster than reads, but only for
+    # narrow-lane blocks). When every column group is an exact 128-lane
+    # run, emit the output as (rows, L//128, 128): row-major flat memory
+    # is IDENTICAL, the callers' final .reshape(-1) is unchanged, and
+    # each group's store targets [:, c0//128, :].
+    narrow = (L % 128 == 0
+              and all(c0 % 128 == 0 and c1 - c0 == 128
+                      for (c0, c1, _, _) in groups))
+    oshape = ((num_tiles * JT, L // 128, 128) if narrow
+              else (num_tiles * JT, L))
+
+    def ospec(index2):
+        if narrow:
+            return pl.BlockSpec((JT, L // 128, 128),
+                                lambda j, d_ref: (*index2(j, d_ref), 0 * j))
+        return pl.BlockSpec((JT, L), index2)
     xlen = x.shape[0]
     x2d = x[: R * M].reshape(R, M)
     h2d = hist[hist.shape[0] - S * M:].reshape(S, M)
@@ -880,7 +905,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                                    groups=groups, three_pass=three_pass)
         out = pl.pallas_call(
             kern_f,
-            out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), odt),
+            out_shape=jax.ShapeDtypeStruct(oshape, odt),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(num_tiles,),
@@ -902,7 +927,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                                  lambda j, d_ref: (j * 0, j * 0)),
                     *k_specs,
                 ],
-                out_specs=pl.BlockSpec((JT, L), lambda j, d_ref: (j, j * 0)),
+                out_specs=ospec(lambda j, d_ref: (j, j * 0)),
             ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
@@ -914,7 +939,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                              three_pass=three_pass)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), odt),
+        out_shape=jax.ShapeDtypeStruct(oshape, odt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T_ok,),
@@ -928,7 +953,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                                                        j * 0)),
                 *k_specs,
             ],
-            out_specs=pl.BlockSpec((JT, L), lambda j, d_ref: (j, j * 0)),
+            out_specs=ospec(lambda j, d_ref: (j, j * 0)),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
@@ -949,7 +974,7 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                                    groups=groups, three_pass=three_pass)
         out = pl.pallas_call(
             kern_t,
-            out_shape=jax.ShapeDtypeStruct((num_tiles * JT, L), odt),
+            out_shape=jax.ShapeDtypeStruct(oshape, odt),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(1,),
@@ -959,9 +984,8 @@ def rational_supercycle_zc(x, hist, k_stack, dsel, L: int, M: int,
                     *k_specs,
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
-                out_specs=pl.BlockSpec((JT, L),
-                                       lambda j, d_ref, _t=T_ok: (j * 0 + _t,
-                                                                  j * 0)),
+                out_specs=ospec(
+                    lambda j, d_ref, _t=T_ok: (j * 0 + _t, j * 0)),
             ),
             input_output_aliases={len(k_args) + 2: 0},
             interpret=interpret,
