@@ -172,3 +172,102 @@ def variant_f():
         sf = chained_fn_seconds(run_f, x)
         log(f"F  out 3D (JT,8,128) chunk stores: {sf*1e3:.3f} ms "
             f"{useful/sf/1e9:.0f} GB/s")
+
+
+def variant_g():
+    """G/H: read-side lane-width isolation. G: wide-lane IN (384, 1024)
+    -> narrow OUT; H: narrow-lane IN (3072, 128) -> narrow OUT. Same
+    flat bytes both ways (1:1 copy)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from multirate_tpu.utils.metrics import chained_fn_seconds
+
+    # in+out must exceed the 128 MB VMEM or the probe reads TB/s
+    # artifacts (round-3 finding 1; bit THIS script's first G/H run)
+    N = 32_000_000
+    JT = 384
+    T = N // (JT * 1024)
+    rng = np.random.default_rng(0)
+    xw = jnp.asarray(rng.standard_normal((T * JT, 1024)).astype(np.float32))
+    xn = jnp.asarray(np.asarray(xw).reshape(T * JT * 8, 128))
+
+    def kern_g(xa, o_ref):
+        v = xa[...]                      # (JT, 1024)
+        o_ref[:, :] = v.reshape(8 * JT, 128)
+
+    def run_g(xv):
+        return pl.pallas_call(
+            kern_g,
+            out_shape=jax.ShapeDtypeStruct((T * JT * 8, 128), jnp.float32),
+            grid=(T,),
+            in_specs=[pl.BlockSpec((JT, 1024), lambda j: (j, j * 0))],
+            out_specs=pl.BlockSpec((8 * JT, 128), lambda j: (j, j * 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(xv)
+
+    def kern_h(xa, o_ref):
+        o_ref[:, :] = xa[...]
+
+    def run_h(xv):
+        return pl.pallas_call(
+            kern_h,
+            out_shape=jax.ShapeDtypeStruct((T * JT * 8, 128), jnp.float32),
+            grid=(T,),
+            in_specs=[pl.BlockSpec((8 * JT, 128), lambda j: (j, j * 0))],
+            out_specs=pl.BlockSpec((8 * JT, 128), lambda j: (j, j * 0)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(xv)
+
+    nbytes = 2 * 4 * N
+    for rnd in range(2):
+        sg = chained_fn_seconds(run_g, xw)
+        log(f"G wide-lane IN  (384,1024)->narrow out: {sg*1e3:.3f} ms "
+            f"{nbytes/sg/1e9:.0f} GB/s")
+        sh = chained_fn_seconds(run_h, xn)
+        log(f"H narrow IN (3072,128)->narrow out:     {sh*1e3:.3f} ms "
+            f"{nbytes/sh/1e9:.0f} GB/s")
+
+
+def variant_w():
+    """W: balanced 1:1 copy at out-block lane widths 128/256/512/1024
+    (in blocks fixed wide — reads are lane-width-insensitive per G/H)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from multirate_tpu.utils.metrics import chained_fn_seconds
+
+    N = 32_000_000
+    JT = 384
+    T = N // (JT * 1024)
+    rng = np.random.default_rng(0)
+    xw = jnp.asarray(rng.standard_normal((T * JT, 1024)).astype(np.float32))
+    nbytes = 2 * 4 * N
+
+    def make(w):
+        rows = JT * (1024 // w)
+
+        def kern(xa, o_ref):
+            o_ref[:, :] = xa[...].reshape(rows, w)
+
+        def run(xv):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((T * rows, w), jnp.float32),
+                grid=(T,),
+                in_specs=[pl.BlockSpec((JT, 1024), lambda j: (j, j * 0))],
+                out_specs=pl.BlockSpec((rows, w), lambda j: (j, j * 0)),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(xv)
+        return run
+
+    for rnd in range(2):
+        for w in (128, 256, 512, 1024):
+            sw_ = chained_fn_seconds(make(w), xw)
+            log(f"W out-width {w:4d}: {sw_*1e3:.3f} ms "
+                f"{nbytes/sw_/1e9:.0f} GB/s")

@@ -298,13 +298,14 @@ def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
     HBM-RESIDENT working set: the ACHIEVABLE ceiling of this grid/DMA
     stack, as opposed to the paper HBM figure (KNOWN_HBM_GBPS).
 
-    exp/exp27_bw_floor.py on the relay-attached v5e: a bare (384, 1024)
-    tile copy sustains ~215 GB/s and a headline-shaped read/write ~310,
-    against the 819 GB/s paper figure — while the production zc kernel
-    moves ~390 GB/s. Kernels at or above this copy number are at the
-    machine's effective speed of light; report both fractions. The
-    default working set is 2 x 128 MB (VMEM-resident probes measure
-    VMEM at 1.3-35 TB/s and are invalid — ROADMAP round-3 finding 1).
+    Round-5 revision: with NARROW-LANE (128-wide) output blocks the
+    balanced copy sustains ~650 GB/s on the relay-attached v5e (79% of
+    the 819 paper figure) — the rounds-3/4 "323 GB/s ceiling" was the
+    probe's own wide-lane store layout (any out block > one lane
+    quantum halves store rate, exp54). The default working set is
+    2 x 128 MB (VMEM-resident probes measure VMEM at 1.3-35 TB/s and
+    are invalid — ROADMAP round-3 finding 1; the v5e carries ~128 MB
+    of VMEM).
     """
     from functools import partial
 
@@ -323,17 +324,24 @@ def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
     x = jnp.asarray((xr * 16).astype(dt) if dt == jnp.int8
                     else xr.astype(dt))
 
+    # NARROW-LANE output blocks (round 5, exp54): any out block wider
+    # than ONE 128-lane quantum halves store throughput (balanced copy:
+    # 649 GB/s at width 128 vs 328 at 256/512/1024; reads are
+    # insensitive). The original (JT, 1024)-out probe measured its own
+    # store layout, not the machine — the achievable triad ceiling is
+    # the narrow-store figure reported here. Same flat bytes: the
+    # in-kernel reshape is a free row-major relabeling.
     def kern(xa, o_ref):
-        o_ref[:, :] = xa[:, :]
+        o_ref[:, :] = xa[...].reshape(8 * JT, W // 8)
 
     def one(xv):
         x2d = xv.reshape(T * JT, W)
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((T * JT, W), dt),
+            out_shape=jax.ShapeDtypeStruct((T * JT * 8, W // 8), dt),
             grid=(T,),
             in_specs=[pl.BlockSpec((JT, W), lambda j: (j, j * 0))],
-            out_specs=pl.BlockSpec((JT, W), lambda j: (j, j * 0)),
+            out_specs=pl.BlockSpec((8 * JT, W // 8), lambda j: (j, j * 0)),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=jax.default_backend() != "tpu",
