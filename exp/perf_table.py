@@ -66,21 +66,23 @@ def table() -> str:
                   "chunking-invariant)."]
     cg = side.get("stream_copy_gbps")
     if cg is not None:
-        lines += ["", f"Roofline context: a bare HBM-resident Pallas tile "
-                  f"copy measures **{cg:.0f} GB/s** on this stack (same "
-                  "process, same methodology) against the 819 GB/s paper "
-                  "figure — '% HBM roofline' uses the paper denominator "
-                  "(BASELINE comparability), '% measured ceiling' the "
-                  "achievable one (input + output bytes vs the measured "
-                  "copy rate). Rows above 100% of the ceiling are "
-                  "explained by partial on-chip residency of the 8M "
-                  "block working set (the copy probe's 256 MB set is "
-                  "fully HBM-resident; >= 12M single-stream blocks "
-                  "measure the unbounded-stream rate ~30 Gsps — ROADMAP "
-                  "round-5 item 8). The 8M numbers are the honest BLOCK "
-                  "throughput for streaming pipelines reusing a "
-                  "resident block buffer, which is what the chained "
-                  "methodology models."]
+        lines += ["", f"Roofline context: a bare HBM-resident narrow-"
+                  f"store Pallas copy measures **{cg:.0f} GB/s** on this "
+                  "stack (same process, same methodology; ~79% of the "
+                  "819 GB/s paper figure) — '% HBM roofline' uses the "
+                  "paper denominator (BASELINE comparability), "
+                  "'% measured ceiling' the achievable one (input + "
+                  "output bytes vs the measured copy rate). Round-5 "
+                  "correction: earlier rounds' ~323 GB/s 'ceiling' was "
+                  "the probe's own wide-lane store layout (out blocks "
+                  "wider than one 128-lane quantum halve store rate — "
+                  "exp54); the interp kernel gained 2.3x from the same "
+                  "fix. 8M-block numbers additionally include partial "
+                  "on-chip residency (>= 12M single-stream blocks "
+                  "measure the unbounded-stream rate — ROADMAP round-5 "
+                  "item 8); they are the honest BLOCK throughput for "
+                  "pipelines reusing a resident block buffer, which is "
+                  "what the chained methodology models."]
     return "\n".join(lines)
 
 

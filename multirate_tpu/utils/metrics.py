@@ -334,8 +334,9 @@ def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
     def kern(xa, o_ref):
         o_ref[:, :] = xa[...].reshape(8 * JT, W // 8)
 
+    x2d = x.reshape(T * JT, W)
+
     def one(xv):
-        x2d = xv.reshape(T * JT, W)
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((T * JT * 8, W // 8), dt),
@@ -345,36 +346,9 @@ def stream_copy_gbps(n_floats: int = 32_000_000, repeat: int = 8,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=jax.default_backend() != "tpu",
-        )(x2d)
+        )(xv)
 
-    @partial(jax.jit, static_argnames="reps")
-    def call(xx, reps):
-        def body(i, carry):
-            xx, acc = carry
-            y = one(xx)
-            last = y[-1, -1].astype(jnp.float32)
-            xx = xx.at[0].add((last * 1e-30).astype(xx.dtype))
-            return (xx, acc + last)
-        _, acc = lax.fori_loop(0, reps, body, (xx, jnp.float32(0)))
-        return acc
-
-    def tmin(reps):
-        float(call(x, reps))
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            float(call(x, reps))
-            ts.append(time.perf_counter() - t0)
-        return float(np.min(ts))
-
-    t1 = tmin(repeat)
-    per = max(t1 / repeat, 1e-7)
-    r2 = repeat + max(repeat, min(int(0.5 / per), 20000))
-    slopes = []
-    for _ in range(3):
-        a, b = tmin(repeat), tmin(r2)
-        slopes.append(max((b - a) / (r2 - repeat), 1e-9))
-    sec = float(np.median(slopes))
+    sec = chained_fn_seconds(one, x2d, repeat=repeat * 3, iters=iters)
     return 2 * isz * (T * JT * W) / sec / 1e9
 
 
